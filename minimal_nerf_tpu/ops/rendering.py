@@ -1,0 +1,190 @@
+"""Volume-rendering math: stratified sampling, transmittance weights,
+alpha compositing, and inverse-CDF hierarchical sampling.
+
+All functions are pure jnp with explicit PRNG keys (no global device state,
+unlike the reference's module-global ``device`` at ``nerf_helpers.py:16``) and
+static shapes, so the whole render is a single XLA computation under jit.
+
+Behavioral parity notes (vs. reference ``nerf_helpers.py``):
+
+- Stratified sampling (``nerf_helpers.py:28-56``): ``ts = near + step * i +
+  U(0, step)`` with ``step = (far - near) / S``; **directions are NOT
+  normalized** — ``t`` is measured in units of ``||d||``, matching the
+  reference's geometry (dirs are only unit-normalized inside the MLP).
+- Deltas (``:58-73``): ``delta_i = t_{i+1} - t_i`` with terminal delta 1e10.
+- Weights (``:75-91``): ``w_i = T_i * (1 - exp(-sigma_i * delta_i))`` with
+  ``T_i = exp(exclusive-prefix-sum of -sigma*delta)``.
+- Compositing (``:93-104``): unnormalized weighted sum (no white background).
+- Inverse-CDF sampling (``:106-156``): low-variance uniform grid
+  ``arange(0,1,1/S) + eps`` with a **single shared eps ~ U(0, 1/S) per ray**,
+  left-searchsorted into the normalized CDF, bin edges ``[near, ts..., far]``,
+  uniform jitter within the selected bin. One deviation: the CDF denominator
+  gets a ``1e-10`` guard so an (astronomically unlikely) all-zero-density ray
+  yields valid samples instead of NaNs.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def generate_coarse_samples(
+    key: jax.Array,
+    o_rays: jnp.ndarray,
+    d_rays: jnp.ndarray,
+    num_samples: int,
+    near: float = 2.0,
+    far: float = 6.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stratified per-ray samples of ``o + t * d`` on ``[near, far]``.
+
+    Args:
+        key: PRNG key for the per-sample jitter.
+        o_rays: ``[N, 3]`` ray origins.
+        d_rays: ``[N, 3]`` ray directions (NOT normalized; see module note).
+        num_samples: samples per ray (static).
+
+    Returns:
+        ``samples [N, S, 3]``, ``ts [N, S, 1]`` (monotone along S).
+    """
+    n = o_rays.shape[0]
+    dtype = o_rays.dtype
+    step = (far - near) / num_samples
+    base = near + step * jnp.arange(num_samples, dtype=dtype)  # [S]
+    jitter = jax.random.uniform(key, (n, num_samples), dtype=dtype) * step
+    ts = (base[None, :] + jitter)[..., None]  # [N, S, 1]
+    samples = o_rays[:, None, :] + ts * d_rays[:, None, :]
+    return samples, ts
+
+
+def generate_deltas(ts: jnp.ndarray) -> jnp.ndarray:
+    """``delta_i = t_{i+1} - t_i``; the final delta is 1e10 (ray to infinity).
+
+    Args:
+        ts: ``[N, S, 1]`` monotone sample times.
+
+    Returns:
+        ``[N, S, 1]`` deltas.
+    """
+    n = ts.shape[0]
+    terminal = jnp.full((n, 1, 1), 1e10, dtype=ts.dtype)
+    return jnp.concatenate([ts[:, 1:, :] - ts[:, :-1, :], terminal], axis=1)
+
+
+def calculate_unnormalized_weights(
+    density: jnp.ndarray, deltas: jnp.ndarray
+) -> jnp.ndarray:
+    """Transmittance-weighted alpha weights ``w_i = T_i (1 - exp(-sigma_i d_i))``.
+
+    ``T_i = exp(sum_{j<i} -sigma_j * delta_j)`` (exclusive prefix), matching
+    the reference's shifted-cumsum formulation (``nerf_helpers.py:75-91``).
+
+    Args:
+        density: ``[N, S, 1]`` nonnegative densities.
+        deltas: ``[N, S, 1]`` time deltas.
+
+    Returns:
+        ``[N, S, 1]`` unnormalized weights.
+    """
+    n = density.shape[0]
+    neg_delta_density = -density * deltas
+    shifted = jnp.concatenate(
+        [jnp.zeros((n, 1, 1), dtype=density.dtype), neg_delta_density[:, :-1, :]],
+        axis=1,
+    )
+    transmittance = jnp.exp(jnp.cumsum(shifted, axis=1))
+    return (1.0 - jnp.exp(neg_delta_density)) * transmittance
+
+
+def estimate_ray_color(weights: jnp.ndarray, rgb: jnp.ndarray) -> jnp.ndarray:
+    """Composite per-sample colors: ``sum_i w_i * rgb_i`` (no normalization).
+
+    Args:
+        weights: ``[N, S, 1]`` unnormalized weights.
+        rgb: ``[N, S, 3]`` per-sample colors.
+
+    Returns:
+        ``[N, 3]`` ray colors.
+    """
+    return jnp.sum(weights * rgb, axis=1)
+
+
+def inverse_transform_sampling(
+    key: jax.Array,
+    o_rays: jnp.ndarray,
+    d_rays: jnp.ndarray,
+    weights: jnp.ndarray,
+    ts: jnp.ndarray,
+    num_samples: int,
+    near: float = 2.0,
+    far: float = 6.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Hierarchical (fine) sampling from the coarse weight distribution.
+
+    Low-variance sampling: a uniform grid of ``num_samples`` CDF positions
+    shifted by one shared ``eps ~ U(0, 1/S)`` per ray, mapped through the
+    inverse CDF of the coarse weights, then jittered uniformly inside the
+    selected coarse bin (reference ``nerf_helpers.py:106-156``).
+
+    Args:
+        key: PRNG key (consumed for the shared eps and the in-bin jitter).
+        o_rays: ``[N, 3]`` origins.  d_rays: ``[N, 3]`` directions.
+        weights: ``[N, C, 1]`` coarse weights.  ts: ``[N, C, 1]`` coarse times.
+        num_samples: fine samples per ray (static).
+
+    Returns:
+        ``fine_samples [N, S, 3]``, ``fine_ts [N, S, 1]`` (NOT sorted; callers
+        union with the coarse ts and sort — see ``models.nerf.render_rays``).
+    """
+    n, c, _ = ts.shape
+    dtype = ts.dtype
+    k_eps, k_jitter = jax.random.split(key)
+
+    cdf = jnp.cumsum(weights[..., 0], axis=1)  # [N, C]
+    cdf = cdf / (cdf[:, -1:] + 1e-10)
+
+    eps = jax.random.uniform(k_eps, (n, 1), dtype=dtype) / num_samples
+    grid = jnp.arange(num_samples, dtype=dtype) / num_samples  # arange(0,1,1/S)
+    u = grid[None, :] + eps  # [N, S], u < 1
+
+    # First index where cdf[idx] >= u (torch.searchsorted right=False).
+    lower_idxs = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(cdf, u)
+    lower_idxs = lower_idxs[..., None]  # [N, S, 1]
+    upper_idxs = lower_idxs + 1
+
+    bounds_lo = jnp.full((n, 1, 1), near, dtype=dtype)
+    bounds_hi = jnp.full((n, 1, 1), far, dtype=dtype)
+    ts_bounds = jnp.concatenate([bounds_lo, ts, bounds_hi], axis=1)  # [N, C+2, 1]
+
+    lower_bins = jnp.take_along_axis(ts_bounds, lower_idxs, axis=1)
+    upper_bins = jnp.take_along_axis(ts_bounds, upper_idxs, axis=1)
+
+    jitter = jax.random.uniform(k_jitter, (n, num_samples, 1), dtype=dtype)
+    fine_ts = lower_bins + (upper_bins - lower_bins) * jitter
+    fine_samples = o_rays[:, None, :] + fine_ts * d_rays[:, None, :]
+    return fine_samples, fine_ts
+
+
+def union_and_sort_ts(
+    o_rays: jnp.ndarray,
+    d_rays: jnp.ndarray,
+    fine_ts: jnp.ndarray,
+    coarse_ts: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sorted union of fine and coarse sample times, with positions recomputed.
+
+    The reference concatenates ts AND sample positions then sort+gathers both
+    (``nerf_model.py:116-120``); since positions are affine in t
+    (``p = o + t*d``) we sort only ts and recompute positions — mathematically
+    identical, cheaper on TPU (one sort, no gather of 3-vectors).
+
+    Returns:
+        ``samples [N, Sf+Sc, 3]``, ``ts [N, Sf+Sc, 1]`` sorted along axis 1.
+    """
+    all_ts = jnp.concatenate([fine_ts, coarse_ts], axis=1)
+    all_ts = jnp.sort(all_ts, axis=1)
+    samples = o_rays[:, None, :] + all_ts * d_rays[:, None, :]
+    return samples, all_ts
