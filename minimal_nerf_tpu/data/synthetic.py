@@ -1,0 +1,216 @@
+"""Blender-synthetic scene loading and TPU-native ray sampling.
+
+Reference behavior rebuilt (``dataloader.py:105-158``): parse
+``transforms_{split}.json``, focal = ``0.5 * W / tan(0.5 * camera_angle_x)``,
+images read as RGB in [0, 1], one "batch" = ``num_rays`` random pixels of ONE
+frame, with optional center-crop warmup sampling (margins ``H//4, W//4``,
+``dataloader.py:26-30``).
+
+TPU-native redesign: the reference re-reads the PNG and re-raycasts all 640k
+rays of a frame for every 4096-ray step (``dataloader.py:147-149``). Here the
+whole split is decoded ONCE into arrays (images stay uint8 — 4x less HBM and
+host->device traffic), and per-step sampling is a jitted gather + on-the-fly
+ray generation for just the sampled pixels (``ops.cameras.rays_for_pixels``)
+inside the train step. No worker processes, no host round-trips in the loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minimal_nerf_tpu.ops import cameras
+from minimal_nerf_tpu.utils import imageio as mio
+
+
+def sample_random_coordinates(
+    key: jax.Array,
+    n: int,
+    height,
+    width,
+    cropping=False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Random integer pixel coordinates, optionally center-cropped.
+
+    Matches reference ``dataloader.py:13-34``: when cropping, sample from the
+    center half of the image (margins ``H//4``/``W//4``). ``cropping`` may be a
+    traced bool so the crop->full schedule stays inside one jitted train step.
+
+    Returns:
+        ``xs [n]`` in [0, width), ``ys [n]`` in [0, height) (int32).
+    """
+    kx, ky = jax.random.split(key)
+    crop = jnp.asarray(cropping)
+    ew = jnp.where(crop, width // 4, 0)
+    eh = jnp.where(crop, height // 4, 0)
+    xs = jax.random.randint(kx, (n,), ew, width - ew)
+    ys = jax.random.randint(ky, (n,), eh, height - eh)
+    return xs, ys
+
+
+@dataclasses.dataclass
+class SyntheticScene:
+    """One split of a Blender-synthetic scene, fully decoded into arrays.
+
+    Attributes:
+        images: ``[F, H, W, 3]`` uint8.
+        poses: ``[F, 4, 4]`` float32 camera-to-world matrices.
+        focal: focal length in pixels.
+        camera_angle_x: horizontal FoV (radians).
+    """
+
+    images: np.ndarray
+    poses: np.ndarray
+    focal: float
+    camera_angle_x: float
+    split: str
+    base_dir: str
+
+    @property
+    def num_frames(self) -> int:
+        return self.images.shape[0]
+
+    @property
+    def height(self) -> int:
+        return self.images.shape[1]
+
+    @property
+    def width(self) -> int:
+        return self.images.shape[2]
+
+    @classmethod
+    def load(cls, base_dir, split: str) -> "SyntheticScene":
+        """Load ``transforms_{split}.json`` + all frame PNGs (once).
+
+        Args:
+            base_dir: scene directory (e.g. ``data/nerf_synthetic/lego``).
+            split: ``"train" | "val" | "test"``.
+        """
+        base = Path(base_dir)
+        with open(base / f"transforms_{split}.json") as f:
+            meta = json.load(f)
+        frames = meta["frames"]
+        images = []
+        poses = []
+        for frame in frames:
+            img = mio.imread(base / (frame["file_path"].lstrip("./") + ".png"))
+            images.append(img)
+            poses.append(np.asarray(frame["transform_matrix"], dtype=np.float32))
+        images = np.stack(images)
+        poses = np.stack(poses)
+        camera_angle_x = float(meta["camera_angle_x"])
+        focal = cameras.focal_from_angle(images.shape[2], camera_angle_x)
+        return cls(
+            images=images,
+            poses=poses,
+            focal=focal,
+            camera_angle_x=camera_angle_x,
+            split=split,
+            base_dir=str(base_dir),
+        )
+
+    def device_arrays(self) -> Dict[str, jnp.ndarray]:
+        """Upload the split to the default device: uint8 images + fp32 poses."""
+        return {
+            "images": jnp.asarray(self.images),  # uint8 [F, H, W, 3]
+            "poses": jnp.asarray(self.poses),  # fp32 [F, 4, 4]
+        }
+
+    def ray_batch(
+        self,
+        key: jax.Array,
+        frame_idx,
+        num_rays: int,
+        cropping=False,
+        arrays: Optional[Dict[str, jnp.ndarray]] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Jit-friendly ray batch: ``num_rays`` random pixels of one frame.
+
+        Args:
+            key: PRNG key.
+            frame_idx: scalar (may be traced) frame index.
+            num_rays: static batch size.
+            cropping: bool (may be traced) center-crop warmup flag.
+            arrays: optional pre-uploaded ``device_arrays()`` dict.
+
+        Returns:
+            dict with ``origin [N,3]``, ``direc [N,3]``, ``rgb [N,3]`` (fp32
+            in [0,1]), ``xs``, ``ys`` (int32 [N]).
+        """
+        arrs = arrays if arrays is not None else self.device_arrays()
+        h, w = self.height, self.width
+        xs, ys = sample_random_coordinates(key, num_rays, h, w, cropping)
+        c2w = arrs["poses"][frame_idx]
+        origin, direc = cameras.rays_for_pixels(xs, ys, h, w, self.focal, c2w)
+        rgb = arrs["images"][frame_idx, ys, xs, :].astype(jnp.float32) / 255.0
+        return {"origin": origin, "direc": direc, "rgb": rgb, "xs": xs, "ys": ys}
+
+    def frame_rays(self, frame_idx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """All ``H x W`` rays of one frame (for view reconstruction/scoring)."""
+        return cameras.get_rays(
+            self.height, self.width, self.focal, self.poses[frame_idx]
+        )
+
+
+class SyntheticDataset:
+    """Reference-shaped dataset facade (``dataloader.SyntheticDataset``).
+
+    ``dataset[idx]`` returns the same dict surface as the reference
+    (``dataloader.py:143-158``): ``num_rays`` random pixels of frame ``idx``
+    with ``origin/direc/rgb/xs/ys``, plus ``all_origin/all_direc/image`` for
+    val/test splits. Backed by the preloaded ``SyntheticScene`` (no per-item
+    disk IO) and an explicit per-item PRNG stream.
+    """
+
+    def __init__(
+        self,
+        base_dir,
+        tvt: str,
+        num_rays: int,
+        cropping: bool = False,
+        seed: int = 0,
+    ):
+        self.scene = SyntheticScene.load(base_dir, tvt)
+        self.tvt = tvt
+        self.num_rays = num_rays
+        self.cropping = cropping
+        self._key = jax.random.PRNGKey(seed)
+        self._count = 0
+
+    # reference-compatible attributes
+    @property
+    def focal(self) -> float:
+        return self.scene.focal
+
+    @property
+    def H(self) -> int:
+        return self.scene.height
+
+    @property
+    def W(self) -> int:
+        return self.scene.width
+
+    def __len__(self) -> int:
+        return self.scene.num_frames
+
+    def __getitem__(self, idx: int) -> Dict[str, jnp.ndarray]:
+        if idx >= len(self):
+            raise IndexError(idx)
+        key = jax.random.fold_in(self._key, self._count)
+        self._count += 1
+        batch = self.scene.ray_batch(key, idx, self.num_rays, self.cropping)
+        if self.tvt != "train":
+            all_o, all_d = self.scene.frame_rays(idx)
+            batch = dict(
+                batch,
+                all_origin=all_o,
+                all_direc=all_d,
+                image=jnp.asarray(self.scene.images[idx], jnp.float32) / 255.0,
+            )
+        return batch
