@@ -1,0 +1,47 @@
+"""Training configuration dataclass (single source of truth for hyperparams).
+
+Defaults mirror the reference CLI + LightningModule defaults
+(``train_nerf.py:65-83``, ``nerf_model.py:134-143``): 4096 rays/batch, Adam
+5e-4 with exponential decay to 5e-5 over 1200 epochs stepped per epoch
+(one epoch = one pass over the train frames), validation every 10 epochs,
+center-crop warmup for ``cropping_epochs`` epochs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    num_rays: int = 4096
+    max_steps: int = 100000
+    cropping_epochs: int = 10
+    check_val_every_n_epoch: int = 10
+    start_lr: float = 5e-4
+    end_lr: float = 5e-5
+    lr_decay_epochs: int = 1200
+    seed: int = 0
+    # "bf16" casts matmul inputs to bfloat16 (fp32 params/accumulation) — the
+    # TPU MXU fast path; "fp32" for exact-parity/debug runs.
+    precision: str = "bf16"
+    log_every: int = 100
+    ckpt_every_steps: int = 10000
+    # steps per epoch; None -> number of train frames (reference: DataLoader
+    # over F frames with batch_size=1 => F steps/epoch, F=100 for Blender).
+    steps_per_epoch: Optional[int] = None
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in d.items() if k in known})
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.precision == "bf16" else None

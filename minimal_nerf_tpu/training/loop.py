@@ -1,0 +1,250 @@
+"""The jitted train/eval steps: sampling, forward, loss, Adam update.
+
+TPU-native replacement for the reference's pytorch-lightning loop
+(``nerf_model.py:134-205`` + external ``Trainer``): frame selection, pixel
+sampling with the crop->full schedule, sparse ray generation, the hierarchical
+render, MSE losses, and the optax Adam + per-epoch exponential-LR update are
+ONE jit-compiled, buffer-donated XLA computation. With a mesh, the ray batch
+is sharded over the ``data`` axis (params replicated; XLA emits the gradient
+``psum`` over ICI).
+
+RNG is deterministic: every step derives its keys as
+``fold_in(base_key, step)`` — resume from a checkpoint replays the identical
+sample stream.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from minimal_nerf_tpu.data.synthetic import sample_random_coordinates
+from minimal_nerf_tpu.models.nerf import NeRFConfig, render_rays
+from minimal_nerf_tpu.ops import cameras
+from minimal_nerf_tpu.parallel import mesh as pmesh
+from minimal_nerf_tpu.training.config import TrainConfig
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass
+class SceneStatic:
+    """Static (trace-time) facts about a scene split."""
+
+    height: int
+    width: int
+    focal: float
+    num_frames: int
+
+
+def scene_static(scene) -> SceneStatic:
+    return SceneStatic(
+        height=scene.height,
+        width=scene.width,
+        focal=scene.focal,
+        num_frames=scene.num_frames,
+    )
+
+
+def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> Callable:
+    """``lr(step) = start_lr * gamma^epoch`` with ``gamma = (end/start)^(1/decay_epochs)``.
+
+    Matches reference ``nerf_model.py:134-143``: ExponentialLR stepped once per
+    epoch (staircase), with epochs of ``steps_per_epoch`` steps.
+    """
+    gamma = (cfg.end_lr / cfg.start_lr) ** (1.0 / cfg.lr_decay_epochs)
+
+    def schedule(step):
+        epoch = step // steps_per_epoch
+        return cfg.start_lr * gamma**epoch
+
+    return schedule
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """Adam with the reference's defaults and the per-epoch exponential decay."""
+    return optax.adam(learning_rate=make_lr_schedule(cfg, steps_per_epoch))
+
+
+def nerf_loss(
+    params: Params,
+    nerf_cfg: NeRFConfig,
+    o_rays: jnp.ndarray,
+    d_rays: jnp.ndarray,
+    rgb: jnp.ndarray,
+    key: jax.Array,
+    compute_dtype=None,
+    mlp_apply=None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """``MSE(coarse, gt) + MSE(fine, gt)`` (reference ``nerf_model.py:158-161``)."""
+    out = render_rays(
+        params, nerf_cfg, o_rays, d_rays, key,
+        compute_dtype=compute_dtype, mlp_apply=mlp_apply,
+    )
+    coarse_loss = jnp.mean((out["coarse_rgb_rays"] - rgb) ** 2)
+    fine_loss = jnp.mean((out["fine_rgb_rays"] - rgb) ** 2)
+    loss = coarse_loss + fine_loss
+    return loss, {
+        "train_loss": loss,
+        "train_coarse_loss": coarse_loss,
+        "train_fine_loss": fine_loss,
+    }
+
+
+def sample_train_batch(
+    key: jax.Array,
+    step: jnp.ndarray,
+    images: jnp.ndarray,
+    poses: jnp.ndarray,
+    static: SceneStatic,
+    num_rays: int,
+    steps_per_epoch: int,
+    cropping_epochs: int,
+) -> Dict[str, jnp.ndarray]:
+    """In-jit batch sampling: pick a frame, sample pixels, generate rays.
+
+    Frame order follows the reference's shuffled per-epoch pass (DataLoader
+    ``shuffle=True`` over F frames): a per-epoch permutation indexed by
+    ``step % steps_per_epoch``. The crop->full switch is the traced condition
+    ``epoch < cropping_epochs`` (reference ``dataloader.py:93-99``).
+    """
+    k_perm, k_pix = jax.random.split(key)
+    epoch = step // steps_per_epoch
+    perm = jax.random.permutation(
+        jax.random.fold_in(k_perm, epoch), static.num_frames
+    )
+    frame_idx = perm[step % steps_per_epoch % static.num_frames]
+    cropping = epoch < cropping_epochs
+    xs, ys = sample_random_coordinates(
+        k_pix, num_rays, static.height, static.width, cropping
+    )
+    c2w = poses[frame_idx]
+    origin, direc = cameras.rays_for_pixels(
+        xs, ys, static.height, static.width, static.focal, c2w
+    )
+    rgb = images[frame_idx, ys, xs, :].astype(jnp.float32) / 255.0
+    return {"origin": origin, "direc": direc, "rgb": rgb}
+
+
+def make_train_step(
+    nerf_cfg: NeRFConfig,
+    train_cfg: TrainConfig,
+    static: SceneStatic,
+    mesh=None,
+    mlp_apply=None,
+) -> Tuple[Callable, optax.GradientTransformation]:
+    """Build the jitted, donated train step.
+
+    Returns:
+        ``(step_fn, optimizer)`` where
+        ``step_fn(params, opt_state, images, poses, step, base_key) ->
+        (params, opt_state, metrics)``; params/opt_state buffers are donated.
+    """
+    steps_per_epoch = train_cfg.steps_per_epoch or static.num_frames
+    tx = make_optimizer(train_cfg, steps_per_epoch)
+    compute_dtype = train_cfg.compute_dtype
+
+    def step_fn(params, opt_state, images, poses, step, base_key):
+        key = jax.random.fold_in(base_key, step)
+        k_batch, k_render = jax.random.split(key)
+        batch = sample_train_batch(
+            k_batch, step, images, poses, static,
+            train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
+        )
+        if mesh is not None:
+            batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
+
+        (loss, metrics), grads = jax.value_and_grad(nerf_loss, has_aux=True)(
+            params, nerf_cfg, batch["origin"], batch["direc"], batch["rgb"],
+            k_render, compute_dtype, mlp_apply,
+        )
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = dict(metrics, lr=make_lr_schedule(train_cfg, steps_per_epoch)(step))
+        return new_params, new_opt_state, metrics
+
+    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
+    return jitted, tx
+
+
+def make_eval_step(
+    nerf_cfg: NeRFConfig, train_cfg: TrainConfig, mesh=None, mlp_apply=None
+) -> Callable:
+    """Jitted validation step over a pre-sampled ray batch: the three val losses."""
+    compute_dtype = train_cfg.compute_dtype
+
+    def eval_fn(params, origin, direc, rgb, key):
+        if mesh is not None:
+            origin = pmesh.shard_batch(origin, mesh)
+            direc = pmesh.shard_batch(direc, mesh)
+            rgb = pmesh.shard_batch(rgb, mesh)
+        out = render_rays(
+            params, nerf_cfg, origin, direc, key,
+            compute_dtype=compute_dtype, mlp_apply=mlp_apply,
+        )
+        coarse_loss = jnp.mean((out["coarse_rgb_rays"] - rgb) ** 2)
+        fine_loss = jnp.mean((out["fine_rgb_rays"] - rgb) ** 2)
+        return {
+            "val_loss": coarse_loss + fine_loss,
+            "val_coarse_loss": coarse_loss,
+            "val_fine_loss": fine_loss,
+        }
+
+    return jax.jit(eval_fn)
+
+
+def make_multi_step(
+    nerf_cfg: NeRFConfig,
+    train_cfg: TrainConfig,
+    static: SceneStatic,
+    num_inner: int,
+    mesh=None,
+    mlp_apply=None,
+) -> Tuple[Callable, optax.GradientTransformation]:
+    """``num_inner`` train steps fused into one ``lax.scan`` dispatch.
+
+    Used by the benchmark and long headless runs to amortize host dispatch to
+    zero; semantics identical to ``make_train_step`` iterated.
+
+    Returns:
+        ``(multi_fn, optimizer)`` where ``multi_fn(params, opt_state, images,
+        poses, start_step, base_key) -> (params, opt_state, last_metrics)``.
+    """
+    steps_per_epoch = train_cfg.steps_per_epoch or static.num_frames
+    tx = make_optimizer(train_cfg, steps_per_epoch)
+    compute_dtype = train_cfg.compute_dtype
+    lr_sched = make_lr_schedule(train_cfg, steps_per_epoch)
+
+    def multi_fn(params, opt_state, images, poses, start_step, base_key):
+        def one_step(carry, step):
+            params, opt_state = carry
+            key = jax.random.fold_in(base_key, step)
+            k_batch, k_render = jax.random.split(key)
+            batch = sample_train_batch(
+                k_batch, step, images, poses, static,
+                train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
+            )
+            if mesh is not None:
+                batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
+            (_, metrics), grads = jax.value_and_grad(nerf_loss, has_aux=True)(
+                params, nerf_cfg, batch["origin"], batch["direc"], batch["rgb"],
+                k_render, compute_dtype, mlp_apply,
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), metrics
+
+        steps = start_step + jnp.arange(num_inner)
+        (params, opt_state), metrics = jax.lax.scan(
+            one_step, (params, opt_state), steps
+        )
+        last_metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+        last_metrics = dict(last_metrics, lr=lr_sched(start_step + num_inner - 1))
+        return params, opt_state, last_metrics
+
+    jitted = jax.jit(multi_fn, donate_argnums=(0, 1))
+    return jitted, tx

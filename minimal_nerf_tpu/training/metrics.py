@@ -1,0 +1,69 @@
+"""Structured metrics logging: CSV scalars + PNG image dumps + console.
+
+Replaces the reference's Weights & Biases logging (``train_nerf.py:23-25``,
+``nerf_model.py:164-168,195-203``) with a dependency-free writer emitting the
+same scalar set (train/val coarse/fine/total losses, lr, iteration speed) to
+``{run_dir}/metrics.csv`` and reconstructed validation images to
+``{run_dir}/images/``. A wandb backend can be layered on when available.
+"""
+
+from __future__ import annotations
+
+import csv
+import sys
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from minimal_nerf_tpu.utils import imageio as mio
+
+
+class MetricsLogger:
+    """Append-only CSV scalar logger with wide-row schema discovery."""
+
+    def __init__(self, run_dir, name: str = "run", echo: bool = True):
+        self.run_dir = Path(run_dir)
+        self.run_dir.mkdir(parents=True, exist_ok=True)
+        (self.run_dir / "images").mkdir(exist_ok=True)
+        self.csv_path = self.run_dir / "metrics.csv"
+        self.name = name
+        self.echo = echo
+        self._fieldnames = ["step"]
+        self._rows = []
+        self._t0 = time.perf_counter()
+
+    def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        row = {"step": int(step)}
+        for k, v in scalars.items():
+            row[k] = float(v)
+            if k not in self._fieldnames:
+                self._fieldnames.append(k)
+        self._rows.append(row)
+        self._rewrite()
+        if self.echo:
+            parts = " ".join(f"{k}={row[k]:.6g}" for k in scalars)
+            print(f"[{self.name}] step {step}: {parts}", file=sys.stderr)
+
+    def log_hyperparams(self, params: Dict) -> None:
+        import json
+
+        with open(self.run_dir / "hparams.json", "w") as f:
+            json.dump({k: str(v) for k, v in dict(params).items()}, f, indent=2)
+
+    def log_image(self, key: str, image: np.ndarray, step: Optional[int] = None) -> Path:
+        suffix = f"-{step}" if step is not None else ""
+        path = self.run_dir / "images" / f"{key}{suffix}.png"
+        mio.imwrite(path, image)
+        return path
+
+    def _rewrite(self) -> None:
+        # rewrite keeps the header consistent as new metric keys appear
+        with open(self.csv_path, "w", newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=self._fieldnames)
+            writer.writeheader()
+            writer.writerows(self._rows)
+
+    def elapsed(self) -> float:
+        return time.perf_counter() - self._t0

@@ -36,13 +36,17 @@ def fixture_scene(tmp_path_factory):
     base = tmp_path_factory.mktemp("scene")
     rng = np.random.default_rng(0)
     h = w = 64
+    # one consistent image per split: every frame shows the same scene from
+    # the same pose, so the loss floor is ~0 and overfit tests have signal
+    split_img = {
+        s: np.kron(rng.random((8, 8, 3)), np.ones((8, 8, 1)))[:h, :w]
+        for s in ("train", "val", "test")
+    }
     for split, n_frames in [("train", 3), ("val", 2), ("test", 2)]:
         (base / split).mkdir()
         frames = []
         for i in range(n_frames):
-            # smooth-ish random image
-            img = rng.random((8, 8, 3))
-            img = np.kron(img, np.ones((8, 8, 1)))[:h, :w]
+            img = split_img[split]
             img_u8 = (img * 255).astype(np.uint8)
             rel = f"./{split}/r_{i}"
             mio.imwrite(str(base / split / f"r_{i}.png"), img_u8)

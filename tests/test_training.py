@@ -1,0 +1,171 @@
+"""Training-subsystem tests: LR schedule, checkpoint round-trip, overfit smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network
+from minimal_nerf_tpu.training import (
+    TrainConfig,
+    Trainer,
+    load_model_for_inference,
+    make_lr_schedule,
+    make_multi_step,
+    make_optimizer,
+    make_train_step,
+)
+from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+from minimal_nerf_tpu.training.loop import SceneStatic, scene_static
+from minimal_nerf_tpu.data.synthetic import SyntheticScene
+
+
+def test_lr_schedule_reference_values():
+    # reference nerf_model.py:134-143: 5e-4 -> 5e-5 over 1200 epochs, stepped
+    # per epoch (staircase), 100 steps/epoch
+    cfg = TrainConfig()
+    sched = make_lr_schedule(cfg, steps_per_epoch=100)
+    assert np.isclose(float(sched(0)), 5e-4)
+    assert np.isclose(float(sched(99)), 5e-4)  # still epoch 0
+    gamma = (5e-5 / 5e-4) ** (1 / 1200)
+    assert np.isclose(float(sched(100)), 5e-4 * gamma, rtol=1e-6)
+    assert np.isclose(float(sched(1200 * 100)), 5e-5, rtol=1e-5)
+    # keeps decaying past 1200 epochs (no clamp), like torch ExponentialLR
+    assert float(sched(2400 * 100)) < 5e-5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(num_rays=32)
+    params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    tx = make_optimizer(train_cfg, 100)
+    opt_state = tx.init(params)
+
+    path = tmp_path / ckpt_lib.checkpoint_name("test", 3, 399)
+    ckpt_lib.save_checkpoint(
+        path, params, opt_state, 399, nerf_cfg.to_dict(), train_cfg.to_dict()
+    )
+    header, leaves = ckpt_lib.load_checkpoint(path)
+    assert header["step"] == 399
+    params2_t = init_nerf_network(jax.random.PRNGKey(7), nerf_cfg)
+    opt2_t = tx.init(params2_t)
+    params2, opt2 = ckpt_lib.restore_state(header, leaves, params2_t, opt2_t)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree_util.tree_leaves(opt_state), jax.tree_util.tree_leaves(opt2)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_name_parsing():
+    name = ckpt_lib.checkpoint_name("lego", 1089, 108999)
+    assert name == "model=lego-epoch=1089-step=108999.ckpt"
+    assert ckpt_lib.parse_epoch_step(name) == (1089, 108999)
+
+
+def test_latest_checkpoint(tmp_path):
+    for e, s in [(1, 99), (5, 599), (3, 299)]:
+        (tmp_path / ckpt_lib.checkpoint_name("x", e, s)).write_bytes(b"")
+    latest = ckpt_lib.latest_checkpoint(tmp_path)
+    assert latest is not None and "step=599" in latest.name
+
+
+def test_train_step_descends_loss(fixture_scene):
+    scene = SyntheticScene.load(fixture_scene, "train")
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    # higher LR than production: the point is that gradients flow and the
+    # optimizer descends, on a CPU-sized budget
+    train_cfg = TrainConfig(
+        num_rays=128, cropping_epochs=0, precision="fp32",
+        start_lr=2e-3, end_lr=2e-4,
+    )
+    static = scene_static(scene)
+    step_fn, tx = make_train_step(nerf_cfg, train_cfg, static)
+    params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    opt_state = tx.init(params)
+    arrays = scene.device_arrays()
+    base_key = jax.random.PRNGKey(0)
+
+    losses = []
+    for step in range(150):
+        params, opt_state, metrics = step_fn(
+            params, opt_state, arrays["images"], arrays["poses"], step, base_key
+        )
+        losses.append(float(metrics["train_loss"]))
+    # NeRF starts slow; require a clear (5%) descent over 150 steps
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.95, (
+        losses[:10], losses[-10:]
+    )
+
+
+def test_multi_step_matches_single_steps(fixture_scene):
+    scene = SyntheticScene.load(fixture_scene, "train")
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(num_rays=64, cropping_epochs=0, precision="fp32")
+    static = scene_static(scene)
+    arrays = scene.device_arrays()
+    base_key = jax.random.PRNGKey(1)
+
+    step_fn, tx = make_train_step(nerf_cfg, train_cfg, static)
+    params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    opt_state = tx.init(params)
+    for step in range(4):
+        params, opt_state, _ = step_fn(
+            params, opt_state, arrays["images"], arrays["poses"], step, base_key
+        )
+
+    multi_fn, tx2 = make_multi_step(nerf_cfg, train_cfg, static, num_inner=4)
+    params2 = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    opt_state2 = tx2.init(params2)
+    params2, opt_state2, _ = multi_fn(
+        params2, opt_state2, arrays["images"], arrays["poses"], 0, base_key
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(params2)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+
+def test_trainer_end_to_end(fixture_scene, tmp_path):
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(
+        num_rays=64,
+        max_steps=6,
+        cropping_epochs=0,
+        log_every=3,
+        check_val_every_n_epoch=2,
+        ckpt_every_steps=100,
+        precision="fp32",
+    )
+    trainer = Trainer(
+        nerf_cfg, train_cfg, fixture_scene, tmp_path, name="smoke"
+    )
+    params = trainer.fit()
+    assert params is not None
+    # final checkpoint exists with the naming convention
+    ckpts = list((tmp_path / "smoke" / "checkpoints").glob("*.ckpt"))
+    assert ckpts, "no checkpoint written"
+    assert (tmp_path / "smoke" / "metrics.csv").exists()
+    # validation ran (6 steps / 3 per epoch = 2 epochs; val every 2 epochs)
+    images = list((tmp_path / "smoke" / "images").glob("*.png"))
+    assert images, "no validation image written"
+    # inference reload round-trip
+    params2, cfg2, _ = load_model_for_inference(ckpts[0])
+    assert cfg2.coarse_samples == 8
+
+
+def test_trainer_resume(fixture_scene, tmp_path):
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    mk = lambda steps: TrainConfig(
+        num_rays=64, max_steps=steps, cropping_epochs=0, log_every=100,
+        check_val_every_n_epoch=1000, ckpt_every_steps=4, precision="fp32",
+    )
+    t1 = Trainer(nerf_cfg, mk(4), fixture_scene, tmp_path, name="resume")
+    t1.fit()
+    t2 = Trainer(
+        nerf_cfg, mk(8), fixture_scene, tmp_path, name="resume", resume_ckpt="auto"
+    )
+    params, opt_state, start = t2.init_state()
+    assert start == 4
