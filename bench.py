@@ -1,0 +1,96 @@
+"""Benchmark: training throughput of the full hierarchical NeRF on one chip.
+
+Measures the production training configuration (4096 rays/batch, 64 coarse +
+128 fine samples, bf16 matmuls, in-jit data sampling from a device-resident
+800x800x100-frame scene) using the scan-fused multi-step, and prints ONE JSON
+line:
+
+    {"metric": "train_rays_per_sec_per_chip", "value": ..., "unit": "rays/s",
+     "vs_baseline": ...}
+
+Baseline: the reference publishes no training throughput; its only measured
+rate is scoring/inference at ~17.6k rays/s on a Colab P100
+(``nerf_metrics.txt:5``, 36.35 s per 800x800 view incl. the 64+192-sample
+hierarchical render). ``vs_baseline`` is measured training rays/s (a strictly
+heavier workload: forward + backward + Adam) divided by that 17.6k rays/s.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minimal_nerf_tpu.data.synthetic import SyntheticScene  # noqa: F401 (import check)
+from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network
+from minimal_nerf_tpu.training import TrainConfig, make_multi_step
+from minimal_nerf_tpu.training.loop import SceneStatic
+
+BASELINE_RAYS_PER_SEC = 17_600.0  # reference P100 inference rate (see module doc)
+
+
+def main() -> None:
+    num_frames, height, width = 100, 800, 800
+    nerf_cfg = NeRFConfig()  # 64 coarse + 128 fine, the production model
+    train_cfg = TrainConfig(num_rays=4096, cropping_epochs=0, precision="bf16")
+    static = SceneStatic(
+        height=height, width=width, focal=1111.111, num_frames=num_frames
+    )
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.integers(0, 256, (num_frames, height, width, 3), dtype=np.uint8)
+    )
+    poses = np.tile(np.eye(4, dtype=np.float32), (num_frames, 1, 1))
+    poses[:, 2, 3] = 4.0
+    poses = jnp.asarray(poses)
+
+    num_inner = 20
+    multi_fn, tx = make_multi_step(nerf_cfg, train_cfg, static, num_inner=num_inner)
+    params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    opt_state = tx.init(params)
+    base_key = jax.random.PRNGKey(0)
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    params, opt_state, m = multi_fn(params, opt_state, images, poses, 0, base_key)
+    jax.block_until_ready(m["train_loss"])
+    print(f"[bench] compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    # timed region
+    reps = 5
+    start_step = num_inner
+    t0 = time.perf_counter()
+    for r in range(reps):
+        params, opt_state, m = multi_fn(
+            params, opt_state, images, poses, start_step, base_key
+        )
+        start_step += num_inner
+    jax.block_until_ready(m["train_loss"])
+    elapsed = time.perf_counter() - t0
+
+    steps = reps * num_inner
+    steps_per_sec = steps / elapsed
+    rays_per_sec = steps_per_sec * train_cfg.num_rays
+    print(
+        f"[bench] {steps} steps in {elapsed:.3f}s -> "
+        f"{steps_per_sec:.2f} steps/s, {rays_per_sec:,.0f} rays/s "
+        f"(loss {float(m['train_loss']):.4f})",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "train_rays_per_sec_per_chip",
+                "value": round(rays_per_sec, 1),
+                "unit": "rays/s",
+                "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import optax
 
 from minimal_nerf_tpu.data.synthetic import sample_random_coordinates
-from minimal_nerf_tpu.models.nerf import NeRFConfig, render_rays
+from minimal_nerf_tpu.models.nerf import NeRFConfig, render_rays, render_single
 from minimal_nerf_tpu.ops import cameras
 from minimal_nerf_tpu.parallel import mesh as pmesh
 from minimal_nerf_tpu.training.config import TrainConfig
@@ -95,6 +95,26 @@ def nerf_loss(
     }
 
 
+def single_nerf_loss(
+    params: Params,
+    nerf_cfg: NeRFConfig,
+    o_rays: jnp.ndarray,
+    d_rays: jnp.ndarray,
+    rgb: jnp.ndarray,
+    key: jax.Array,
+    compute_dtype=None,
+    mlp_apply=None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Coarse-only MSE loss (reference ``SingleNeRF.training_step``,
+    ``nerf_model.py:262-280``); params is a single MLP pytree."""
+    out = render_single(
+        params, nerf_cfg, o_rays, d_rays, key,
+        compute_dtype=compute_dtype, mlp_apply=mlp_apply,
+    )
+    loss = jnp.mean((out["pred_rgbs"] - rgb) ** 2)
+    return loss, {"train_loss": loss}
+
+
 def sample_train_batch(
     key: jax.Array,
     step: jnp.ndarray,
@@ -136,8 +156,13 @@ def make_train_step(
     static: SceneStatic,
     mesh=None,
     mlp_apply=None,
+    loss_fn: Callable = nerf_loss,
 ) -> Tuple[Callable, optax.GradientTransformation]:
     """Build the jitted, donated train step.
+
+    Args:
+        loss_fn: ``nerf_loss`` (hierarchical, default) or ``single_nerf_loss``
+            (coarse-only debug model).
 
     Returns:
         ``(step_fn, optimizer)`` where
@@ -158,7 +183,7 @@ def make_train_step(
         if mesh is not None:
             batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
 
-        (loss, metrics), grads = jax.value_and_grad(nerf_loss, has_aux=True)(
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, nerf_cfg, batch["origin"], batch["direc"], batch["rgb"],
             k_render, compute_dtype, mlp_apply,
         )

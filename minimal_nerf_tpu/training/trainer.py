@@ -26,13 +26,16 @@ import numpy as np
 
 from minimal_nerf_tpu import views
 from minimal_nerf_tpu.data.synthetic import SyntheticScene
-from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network
+from minimal_nerf_tpu.models.mlp import init_nerf_mlp
+from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network, render_single
 from minimal_nerf_tpu.training import checkpoint as ckpt_lib
 from minimal_nerf_tpu.training.config import TrainConfig
 from minimal_nerf_tpu.training.loop import (
     make_eval_step,
     make_train_step,
+    nerf_loss,
     scene_static,
+    single_nerf_loss,
 )
 from minimal_nerf_tpu.training.metrics import MetricsLogger
 
@@ -51,7 +54,10 @@ class Trainer:
         mesh=None,
         mlp_apply=None,
         logger: Optional[MetricsLogger] = None,
+        mode: str = "full",
     ):
+        assert mode in ("full", "single"), mode
+        self.mode = mode
         self.nerf_config = nerf_config
         self.train_config = train_config
         self.base_dir = base_dir
@@ -74,19 +80,44 @@ class Trainer:
         self.steps_per_epoch = (
             train_config.steps_per_epoch or self.static.num_frames
         )
+        loss_fn = nerf_loss if mode == "full" else single_nerf_loss
         self.step_fn, self.tx = make_train_step(
-            nerf_config, train_config, self.static, mesh=mesh, mlp_apply=mlp_apply
+            nerf_config, train_config, self.static, mesh=mesh,
+            mlp_apply=mlp_apply, loss_fn=loss_fn,
         )
-        self.eval_fn = make_eval_step(nerf_config, train_config, mesh=mesh,
-                                      mlp_apply=mlp_apply)
+        self.eval_fn = (
+            make_eval_step(nerf_config, train_config, mesh=mesh, mlp_apply=mlp_apply)
+            if mode == "full"
+            else self._make_single_eval()
+        )
         self.base_key = jax.random.PRNGKey(train_config.seed)
+
+    def _make_single_eval(self):
+        cfg = self.train_config
+
+        def eval_fn(params, origin, direc, rgb, key):
+            out = render_single(
+                params, self.nerf_config, origin, direc, key,
+                compute_dtype=cfg.compute_dtype, mlp_apply=self.mlp_apply,
+            )
+            loss = jax.numpy.mean((out["pred_rgbs"] - rgb) ** 2)
+            return {"val_loss": loss}
+
+        return jax.jit(eval_fn)
 
     # ------------------------------------------------------------------ state
 
     def init_state(self):
         """Fresh or resumed (params, opt_state, start_step)."""
-        params = init_nerf_network(
-            jax.random.fold_in(self.base_key, 1), self.nerf_config
+        init_key = jax.random.fold_in(self.base_key, 1)
+        params = (
+            init_nerf_network(init_key, self.nerf_config)
+            if self.mode == "full"
+            else init_nerf_mlp(
+                init_key,
+                self.nerf_config.position_dim,
+                self.nerf_config.direction_dim,
+            )
         )
         opt_state = self.tx.init(params)
         start_step = 0
@@ -187,10 +218,18 @@ class Trainer:
             )
         )
         o, d = self.val_scene.frame_rays(im_idx)
-        render_chunk = views.make_fine_render_chunk(
-            params, self.nerf_config,
-            compute_dtype=cfg.compute_dtype, mlp_apply=self.mlp_apply,
-        )
+        if self.mode == "full":
+            render_chunk = views.make_fine_render_chunk(
+                params, self.nerf_config,
+                compute_dtype=cfg.compute_dtype, mlp_apply=self.mlp_apply,
+            )
+        else:
+            def render_chunk(o_c, d_c, k):
+                out = render_single(
+                    params, self.nerf_config, o_c, d_c, k,
+                    compute_dtype=cfg.compute_dtype, mlp_apply=self.mlp_apply,
+                )
+                return out["pred_rgbs"]
         im = views.view_reconstruction(
             render_chunk, o, d, chunk=cfg.num_rays,
             key=jax.random.fold_in(self.base_key, 30_000_000 + step),
@@ -206,6 +245,7 @@ class Trainer:
         return ckpt_lib.save_checkpoint(
             path, params, opt_state, step,
             self.nerf_config.to_dict(), self.train_config.to_dict(),
+            extra={"mode": self.mode},
         )
 
 

@@ -1,0 +1,47 @@
+"""Renders novel views (360 view) from a NeRF model (TPU-native CLI).
+
+Same surface as reference ``render.py``:
+    python render.py -c CKPT_PATH -r 4096 -p 40 -s SAVE_DIR
+
+Parses the ``epoch=`` substring from the checkpoint filename for the gif name
+(reference ``render.py:15-16``) and writes ``{SAVE_DIR}/{epoch}-360.gif``.
+"""
+
+import argparse
+from pathlib import Path
+
+
+def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
+           height: int = 800, width: int = 800) -> Path:
+    from minimal_nerf_tpu import views
+    from minimal_nerf_tpu.training.trainer import load_model_for_inference
+
+    epoch_idx = ckpt.find("epoch=")
+    epoch = ckpt[epoch_idx: epoch_idx + ckpt[epoch_idx:].find("-")]
+    params, nerf_cfg, train_cfg = load_model_for_inference(ckpt)
+    render_chunk = views.make_fine_render_chunk(
+        params, nerf_cfg, compute_dtype=train_cfg.compute_dtype
+    )
+    save_dir.mkdir(parents=True, exist_ok=True)
+    return views.generate_360_view_synthesis(
+        render_chunk, save_dir, epoch, height=height, width=width,
+        chunk=rays, num_poses=num_poses,
+    )
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="Render a 360 view from a NeRF Model")
+    parser.add_argument("-c", "--ckpt", type=str, required=True,
+                        help="ckpt path for model")
+    parser.add_argument("-r", "--rays", type=int, default=4096,
+                        help="number of rays per batch")
+    parser.add_argument("-p", "--num_poses", type=int, default=40,
+                        help="number of images in gif.")
+    parser.add_argument("-s", "--save_dir", type=Path, default=Path("./recons/"),
+                        help="where to save the resulting gif")
+    parser.add_argument("--height", type=int, default=800)
+    parser.add_argument("--width", type=int, default=800)
+    args = parser.parse_args()
+
+    render(args.ckpt, args.save_dir, args.rays, args.num_poses,
+           height=args.height, width=args.width)

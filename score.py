@@ -1,0 +1,75 @@
+"""Calculate score metrics for NeRF Models (TPU-native CLI).
+
+Same surface as reference ``score.py``:
+    python score.py -c CKPT_PATH -r 4096 -b BASE_DIR
+
+Reconstructs every test view and reports average PSNR / SSIM against the
+uint8 ground truth using the skimage-compatible metrics in
+``minimal_nerf_tpu.ops.image_metrics`` (reference ``score.py:20-41``).
+"""
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0):
+    from minimal_nerf_tpu import views
+    from minimal_nerf_tpu.data.synthetic import SyntheticScene
+    from minimal_nerf_tpu.ops.image_metrics import (
+        peak_signal_noise_ratio,
+        structural_similarity,
+    )
+    from minimal_nerf_tpu.training.trainer import load_model_for_inference
+
+    import jax
+
+    params, nerf_cfg, train_cfg = load_model_for_inference(ckpt)
+    scene = SyntheticScene.load(base_dir, "test")
+    render_chunk = views.make_fine_render_chunk(
+        params, nerf_cfg, compute_dtype=train_cfg.compute_dtype
+    )
+
+    n = scene.num_frames if not limit else min(limit, scene.num_frames)
+    ssim_sum = 0.0
+    psnr_sum = 0.0
+    try:
+        from tqdm import tqdm
+
+        frame_iter = tqdm(range(n))
+    except ImportError:  # pragma: no cover
+        frame_iter = range(n)
+    for idx in frame_iter:
+        gt_im = scene.images[idx]  # already uint8 RGB
+        o, d = scene.frame_rays(idx)
+        recon = views.view_reconstruction(
+            render_chunk, o, d, chunk=rays, key=jax.random.PRNGKey(idx)
+        )
+        ssim_sum += structural_similarity(gt_im, recon, multichannel=True)
+        psnr_sum += peak_signal_noise_ratio(gt_im, recon)
+
+    psnr = psnr_sum / n
+    ssim = ssim_sum / n
+    print("==============Calculate Scores==============")
+    print(f"average psnr score: {psnr}")
+    print(f"average ssim score: {ssim}")
+    return psnr, ssim
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        description="Calculate score metrics for NeRF Models."
+    )
+    parser.add_argument("-c", "--ckpt", type=str, required=True,
+                        help="ckpt path for model")
+    parser.add_argument("-r", "--rays", type=int, default=4096,
+                        help="number of rays per batch")
+    parser.add_argument("-b", "--base_dir", type=Path,
+                        default=Path("./data/nerf_synthetic/lego/"),
+                        help="dataset directory")
+    parser.add_argument("--limit", type=int, default=0,
+                        help="score only the first N test views (0 = all)")
+    args = parser.parse_args()
+
+    calculate_scores(args.ckpt, args.base_dir, args.rays, limit=args.limit)

@@ -1,0 +1,79 @@
+"""End-to-end CLI tests: train -> checkpoint -> render -> score on the fixture."""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+import train_nerf  # noqa: E402
+import render as render_cli  # noqa: E402
+import score as score_cli  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def trained_run(fixture_scene, tmp_path_factory):
+    root = tmp_path_factory.mktemp("runs")
+    train_nerf.main(
+        [
+            "-n", "clitest", "-s", "6", "-r", "64", "-rd", str(root),
+            "--precision", "fp32",
+            "full", "-b", str(fixture_scene), "-c", "8", "-f", "8", "-cr", "0",
+        ]
+    )
+    ckpts = sorted((root / "clitest" / "checkpoints").glob("*.ckpt"))
+    assert ckpts
+    return root, ckpts[-1]
+
+
+def test_train_full_cli_writes_checkpoint(trained_run):
+    root, ckpt = trained_run
+    assert "epoch=" in ckpt.name and "step=" in ckpt.name
+    assert (root / "clitest" / "metrics.csv").exists()
+
+
+def test_render_cli(trained_run, tmp_path):
+    root, ckpt = trained_run
+    gif = render_cli.render(
+        str(ckpt), tmp_path, rays=256, num_poses=2, height=32, width=32
+    )
+    assert gif.exists()
+    assert gif.name.endswith("-360.gif")
+    assert "epoch=" in gif.name
+
+
+def test_score_cli(trained_run, fixture_scene):
+    root, ckpt = trained_run
+    psnr, ssim = score_cli.calculate_scores(
+        str(ckpt), fixture_scene, rays=256, limit=1
+    )
+    assert np.isfinite(psnr) and psnr > 0
+    assert -1.0 <= ssim <= 1.0
+
+
+def test_train_single_cli(fixture_scene, tmp_path):
+    train_nerf.main(
+        [
+            "-n", "singletest", "-s", "4", "-r", "64", "-rd", str(tmp_path),
+            "--precision", "fp32",
+            "single", "-b", str(fixture_scene), "-c", "8",
+        ]
+    )
+    ckpts = list((tmp_path / "singletest" / "checkpoints").glob("*.ckpt"))
+    assert ckpts
+
+
+def test_train_simple_cli(fixture_scene, tmp_path):
+    im_path = str(fixture_scene / "train" / "r_0.png")
+    train_nerf.main(
+        [
+            "-n", "simpletest", "-s", "4", "-r", "128", "-rd", str(tmp_path),
+            "simple", "-i", im_path,
+        ]
+    )
+    assert (tmp_path / "simpletest" / "metrics.csv").exists()
+    # validation reconstruction image written at final step
+    assert list((tmp_path / "simpletest" / "images").glob("*.png"))

@@ -1,0 +1,105 @@
+"""Multi-device data-parallel tests on the 8-way virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minimal_nerf_tpu.data.synthetic import SyntheticScene
+from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network, render_rays
+from minimal_nerf_tpu.parallel import batch_sharding, make_mesh, replicated_sharding
+from minimal_nerf_tpu.training import TrainConfig, make_train_step
+from minimal_nerf_tpu.training.loop import scene_static
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh(8)
+
+
+def test_mesh_construction(mesh8):
+    assert mesh8.shape == {"data": 8}
+
+
+def test_sharded_render_matches_single_device(mesh8):
+    cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    key = jax.random.PRNGKey(0)
+    params = init_nerf_network(key, cfg)
+    o = jnp.zeros((64, 3))
+    d = jax.random.normal(key, (64, 3)).astype(jnp.float32) - jnp.array([0.0, 0.0, 2.0])
+    render_key = jax.random.PRNGKey(42)
+
+    out_single = render_rays(params, cfg, o, d, render_key)
+
+    params_r = jax.device_put(params, replicated_sharding(mesh8))
+    o_s = jax.device_put(o, batch_sharding(mesh8))
+    d_s = jax.device_put(d, batch_sharding(mesh8))
+    out_sharded = jax.jit(
+        lambda p, o_, d_: render_rays(p, cfg, o_, d_, render_key)
+    )(params_r, o_s, d_s)
+
+    # identical math, identical RNG -> identical colors up to fp reassociation
+    np.testing.assert_allclose(
+        np.asarray(out_single["fine_rgb_rays"]),
+        np.asarray(out_sharded["fine_rgb_rays"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_data_parallel_train_step(mesh8, fixture_scene):
+    scene = SyntheticScene.load(fixture_scene, "train")
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(num_rays=64, cropping_epochs=0, precision="fp32")
+    static = scene_static(scene)
+
+    step_fn, tx = make_train_step(nerf_cfg, train_cfg, static, mesh=mesh8)
+    params = jax.device_put(
+        init_nerf_network(jax.random.PRNGKey(0), nerf_cfg),
+        replicated_sharding(mesh8),
+    )
+    opt_state = jax.device_put(tx.init(params), replicated_sharding(mesh8))
+    arrays = scene.device_arrays()
+    arrays = {
+        k: jax.device_put(v, replicated_sharding(mesh8)) for k, v in arrays.items()
+    }
+    base_key = jax.random.PRNGKey(0)
+    losses = []
+    for step in range(3):
+        params, opt_state, metrics = step_fn(
+            params, opt_state, arrays["images"], arrays["poses"], step, base_key
+        )
+        losses.append(float(metrics["train_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_data_parallel_matches_single_device_step(mesh8, fixture_scene):
+    scene = SyntheticScene.load(fixture_scene, "train")
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(num_rays=64, cropping_epochs=0, precision="fp32")
+    static = scene_static(scene)
+    arrays = scene.device_arrays()
+    base_key = jax.random.PRNGKey(7)
+
+    # single device
+    step_1, tx1 = make_train_step(nerf_cfg, train_cfg, static)
+    p1 = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    s1 = tx1.init(p1)
+    p1, s1, m1 = step_1(p1, s1, arrays["images"], arrays["poses"], 0, base_key)
+
+    # 8-way mesh, same seeds
+    step_8, tx8 = make_train_step(nerf_cfg, train_cfg, static, mesh=mesh8)
+    p8 = jax.device_put(
+        init_nerf_network(jax.random.PRNGKey(0), nerf_cfg),
+        replicated_sharding(mesh8),
+    )
+    s8 = jax.device_put(tx8.init(p8), replicated_sharding(mesh8))
+    arrays8 = {
+        k: jax.device_put(v, replicated_sharding(mesh8)) for k, v in arrays.items()
+    }
+    p8, s8, m8 = step_8(p8, s8, arrays8["images"], arrays8["poses"], 0, base_key)
+
+    assert np.isclose(float(m1["train_loss"]), float(m8["train_loss"]), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)

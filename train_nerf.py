@@ -1,0 +1,157 @@
+"""Train NeRF models (TPU-native CLI).
+
+Same public surface as the reference ``train_nerf.py`` (flags at
+``train_nerf.py:62-91``): subcommands ``simple`` / ``single`` / ``full`` with
+``-n/-s/-p/-d/-rd/-r/-l`` shared flags and the full-model ``-b/-c/-f/-nr/-fr/
+-cr`` flags. TPU additions: ``--precision {bf16,fp32}``, ``--data-parallel N``
+(shard the ray batch over an N-device mesh), ``--resume auto``.
+
+Usage examples:
+    python train_nerf.py -n test -s 10 simple
+    python train_nerf.py -n lego -s 120000 full -b ./data/nerf_synthetic/lego/
+    python train_nerf.py -n lego -s 120000 --data-parallel 4 full -b ...
+"""
+
+import argparse
+
+from minimal_nerf_tpu.models.nerf import NeRFConfig
+from minimal_nerf_tpu.training.config import TrainConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Train a NeRF model")
+    subparsers = parser.add_subparsers(dest="type", help="Training different NeRF Versions")
+    parser.add_argument("-n", "--name", type=str, required=True,
+                        help="name of the model experiment")
+    parser.add_argument("-s", "--steps", type=int, default=100000,
+                        help="max number of steps")
+    parser.add_argument("--gpu", action="store_true",
+                        help="accepted for reference-CLI compatibility; "
+                             "JAX always uses the available accelerator")
+    parser.add_argument("-p", "--position_encoding", type=int, default=10,
+                        help="position encoding length")
+    parser.add_argument("-d", "--direction_encoding", type=int, default=4,
+                        help="direction encoding length")
+    parser.add_argument("-rd", "--root_dir", type=str, default="./experiments/",
+                        help="directory to save models")
+    parser.add_argument("-r", "--rays", type=int, default=4096,
+                        help="number of rays per batch")
+    parser.add_argument("-l", "--ckpt", type=str, default=None,
+                        help="load/resume from checkpoint path, or 'auto' for "
+                             "latest in the run dir")
+    parser.add_argument("--precision", choices=["bf16", "fp32"], default="bf16",
+                        help="matmul compute dtype (params always fp32)")
+    parser.add_argument("--data-parallel", type=int, default=0,
+                        help="shard the ray batch over this many devices "
+                             "(0 = single device)")
+    parser.add_argument("--seed", type=int, default=0)
+
+    simple_parser = subparsers.add_parser("simple")
+    full_parser = subparsers.add_parser("full")
+    single_parser = subparsers.add_parser("single")
+
+    full_parser.add_argument("-b", "--base_dir", type=str,
+                             default="./data/nerf_synthetic/lego/",
+                             help="directory for dataset")
+    full_parser.add_argument("-c", "--coarse", type=int, default=64,
+                             help="number of coarse samples")
+    full_parser.add_argument("-f", "--fine", type=int, default=128,
+                             help="number of fine samples")
+    full_parser.add_argument("-nr", "--near", type=float, default=2.0,
+                             help="near bound for dataset")
+    full_parser.add_argument("-fr", "--far", type=float, default=6.0,
+                             help="far bound of dataset")
+    full_parser.add_argument("-cr", "--cropping_epochs", type=int, default=10,
+                             help="num. epochs to crop image for ray sampling.")
+
+    single_parser.add_argument("-b", "--base_dir", type=str, default="./dev_data/",
+                               help="directory for dataset")
+    single_parser.add_argument("-c", "--samples", type=int, default=128,
+                               help="number of samples")
+
+    simple_parser.add_argument("-i", "--im_path", type=str,
+                               default="./tests/test_data/grad_lounge.png",
+                               help="The image path to use as data")
+    return parser
+
+
+def make_mesh_or_none(n: int):
+    if n and n > 0:
+        from minimal_nerf_tpu.parallel import make_mesh
+
+        return make_mesh(n)
+    return None
+
+
+def train_full_nerf(args) -> None:
+    from minimal_nerf_tpu.training.trainer import Trainer
+
+    nerf_cfg = NeRFConfig(
+        position_dim=args.position_encoding,
+        direction_dim=args.direction_encoding,
+        coarse_samples=args.coarse,
+        fine_samples=args.fine,
+        near=args.near,
+        far=args.far,
+    )
+    train_cfg = TrainConfig(
+        num_rays=args.rays,
+        max_steps=args.steps,
+        cropping_epochs=args.cropping_epochs,
+        precision=args.precision,
+        seed=args.seed,
+    )
+    trainer = Trainer(
+        nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
+        resume_ckpt=args.ckpt, mesh=make_mesh_or_none(args.data_parallel),
+    )
+    trainer.fit()
+
+
+def train_single_nerf(args) -> None:
+    from minimal_nerf_tpu.training.trainer import Trainer
+
+    nerf_cfg = NeRFConfig(
+        position_dim=args.position_encoding,
+        direction_dim=args.direction_encoding,
+        coarse_samples=args.samples,
+    )
+    train_cfg = TrainConfig(
+        num_rays=args.rays,
+        max_steps=args.steps,
+        cropping_epochs=0,
+        precision=args.precision,
+        seed=args.seed,
+    )
+    trainer = Trainer(
+        nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
+        resume_ckpt=args.ckpt, mesh=make_mesh_or_none(args.data_parallel),
+        mode="single",
+    )
+    trainer.fit()
+
+
+def train_simple_image(args) -> None:
+    from minimal_nerf_tpu.training.simple import train_simple_image as run
+
+    run(
+        args.im_path, args.root_dir, args.name, args.steps,
+        position_dim=args.position_encoding, batch_size=args.rays,
+        seed=args.seed,
+    )
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    if args.type == "full":
+        train_full_nerf(args)
+    elif args.type == "single":
+        train_single_nerf(args)
+    elif args.type == "simple":
+        train_simple_image(args)
+    else:
+        build_parser().error("choose a subcommand: simple | single | full")
+
+
+if __name__ == "__main__":
+    main()
