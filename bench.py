@@ -53,10 +53,11 @@ def main() -> None:
     opt_state = tx.init(params)
     base_key = jax.random.PRNGKey(0)
 
-    # compile + warmup
+    # compile + warmup (float() forces host materialization — on some PJRT
+    # plugins block_until_ready returns without actually waiting)
     t0 = time.perf_counter()
     params, opt_state, m = multi_fn(params, opt_state, images, poses, 0, base_key)
-    jax.block_until_ready(m["train_loss"])
+    float(m["train_loss"])
     print(f"[bench] compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # timed region
@@ -68,7 +69,7 @@ def main() -> None:
             params, opt_state, images, poses, start_step, base_key
         )
         start_step += num_inner
-    jax.block_until_ready(m["train_loss"])
+    float(m["train_loss"])
     elapsed = time.perf_counter() - t0
 
     steps = reps * num_inner
@@ -94,3 +95,10 @@ def main() -> None:
 
 if __name__ == "__main__":
     main()
+    # the axon PJRT plugin can keep non-daemon threads alive after main
+    # returns; flush and hard-exit so driver invocations always terminate
+    sys.stdout.flush()
+    sys.stderr.flush()
+    import os
+
+    os._exit(0)
