@@ -158,6 +158,40 @@ class SyntheticScene:
         )
 
 
+class SyntheticDataModule:
+    """Reference-shaped data module (``dataloader.SyntheticDataModule``).
+
+    The reference swaps its DataLoader from crop to no-crop after
+    ``cropping_epochs`` (``dataloader.py:93-99``). In this framework the
+    switch lives INSIDE the jitted train step as a traced condition
+    (``training.loop.sample_train_batch``); this facade exists for public-API
+    parity and for host-side iteration, exposing the same three accessors.
+    """
+
+    def __init__(self, base_dir, num_rays: int, cropping_epochs: int, seed: int = 0):
+        self.base_dir = base_dir
+        self.num_rays = num_rays
+        self.cropping_epochs = cropping_epochs
+        self.current_epoch = 0
+        self.crop_train_ds = SyntheticDataset(
+            base_dir, "train", num_rays, cropping=True, seed=seed
+        )
+        self.train_ds = SyntheticDataset(
+            base_dir, "train", num_rays, cropping=False, seed=seed + 1
+        )
+        self.val_ds = SyntheticDataset(
+            base_dir, "val", num_rays, cropping=False, seed=seed + 2
+        )
+
+    def train_dataloader(self):
+        if self.current_epoch < self.cropping_epochs:
+            return self.crop_train_ds
+        return self.train_ds
+
+    def val_dataloader(self):
+        return self.val_ds
+
+
 class SyntheticDataset:
     """Reference-shaped dataset facade (``dataloader.SyntheticDataset``).
 

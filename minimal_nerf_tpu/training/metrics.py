@@ -21,9 +21,15 @@ from minimal_nerf_tpu.utils import imageio as mio
 
 
 class MetricsLogger:
-    """Append-only CSV scalar logger with wide-row schema discovery."""
+    """Append-only CSV scalar logger with wide-row schema discovery.
 
-    def __init__(self, run_dir, name: str = "run", echo: bool = True):
+    Set ``wandb_project`` to mirror scalars/images to Weights & Biases when
+    the package is installed (the reference's logger, ``train_nerf.py:23``);
+    silently degrades to CSV-only otherwise.
+    """
+
+    def __init__(self, run_dir, name: str = "run", echo: bool = True,
+                 wandb_project: Optional[str] = None):
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         (self.run_dir / "images").mkdir(exist_ok=True)
@@ -33,6 +39,14 @@ class MetricsLogger:
         self._fieldnames = ["step"]
         self._rows = []
         self._t0 = time.perf_counter()
+        self._wandb = None
+        if wandb_project:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=wandb_project, name=name)
+            except ImportError:
+                print("[metrics] wandb not installed; CSV-only", file=sys.stderr)
 
     def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
         row = {"step": int(step)}
@@ -42,6 +56,8 @@ class MetricsLogger:
                 self._fieldnames.append(k)
         self._rows.append(row)
         self._rewrite()
+        if self._wandb is not None:
+            self._wandb.log(dict(scalars), step=int(step))
         if self.echo:
             parts = " ".join(f"{k}={row[k]:.6g}" for k in scalars)
             print(f"[{self.name}] step {step}: {parts}", file=sys.stderr)

@@ -115,3 +115,13 @@ def test_photo_dataset_batches(fixture_scene):
     coords, rgb = next(pds.batches(jax.random.PRNGKey(0), 32))
     assert coords.shape == (32, 2)
     assert rgb.shape == (32, 3)
+
+
+def test_synthetic_datamodule_crop_switch(fixture_scene):
+    from minimal_nerf_tpu.data import SyntheticDataModule
+
+    dm = SyntheticDataModule(fixture_scene, num_rays=32, cropping_epochs=2)
+    assert dm.train_dataloader().cropping is True
+    dm.current_epoch = 2
+    assert dm.train_dataloader().cropping is False
+    assert dm.val_dataloader().tvt == "val"
