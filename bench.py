@@ -48,39 +48,56 @@ def main() -> None:
     poses = jnp.asarray(poses)
 
     num_inner = 20
-    multi_fn, tx = make_multi_step(nerf_cfg, train_cfg, static, num_inner=num_inner)
-    params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
-    opt_state = tx.init(params)
     base_key = jax.random.PRNGKey(0)
 
-    # compile + warmup (float() forces host materialization — on some PJRT
-    # plugins block_until_ready returns without actually waiting)
-    t0 = time.perf_counter()
-    params, opt_state, m = multi_fn(params, opt_state, images, poses, 0, base_key)
-    float(m["train_loss"])
-    print(f"[bench] compile+warmup: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    # timed region
-    reps = 5
-    start_step = num_inner
-    t0 = time.perf_counter()
-    for r in range(reps):
-        params, opt_state, m = multi_fn(
-            params, opt_state, images, poses, start_step, base_key
+    def measure(mlp_apply, label):
+        multi_fn, tx = make_multi_step(
+            nerf_cfg, train_cfg, static, num_inner=num_inner, mlp_apply=mlp_apply
         )
-        start_step += num_inner
-    float(m["train_loss"])
-    elapsed = time.perf_counter() - t0
+        params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+        opt_state = tx.init(params)
+        # compile + warmup (float() forces host materialization — on some
+        # PJRT plugins block_until_ready returns without actually waiting)
+        t0 = time.perf_counter()
+        params, opt_state, m = multi_fn(
+            params, opt_state, images, poses, 0, base_key
+        )
+        float(m["train_loss"])
+        print(
+            f"[bench] {label} compile+warmup: {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        reps = 5
+        start_step = num_inner
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            params, opt_state, m = multi_fn(
+                params, opt_state, images, poses, start_step, base_key
+            )
+            start_step += num_inner
+        float(m["train_loss"])
+        elapsed = time.perf_counter() - t0
+        steps = reps * num_inner
+        rps = steps / elapsed * train_cfg.num_rays
+        print(
+            f"[bench] {label}: {steps} steps in {elapsed:.3f}s -> "
+            f"{rps:,.0f} rays/s (loss {float(m['train_loss']):.4f})",
+            file=sys.stderr,
+        )
+        return rps
 
-    steps = reps * num_inner
-    steps_per_sec = steps / elapsed
-    rays_per_sec = steps_per_sec * train_cfg.num_rays
-    print(
-        f"[bench] {steps} steps in {elapsed:.3f}s -> "
-        f"{steps_per_sec:.2f} steps/s, {rays_per_sec:,.0f} rays/s "
-        f"(loss {float(m['train_loss']):.4f})",
-        file=sys.stderr,
-    )
+    from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
+
+    results = {}
+    try:
+        results["pallas"] = measure(
+            make_pallas_mlp_apply(differentiable=True), "pallas"
+        )
+    except Exception as e:  # pragma: no cover - kernel path may fail off-TPU
+        print(f"[bench] pallas path failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    results["xla"] = measure(None, "xla")
+    rays_per_sec = max(results.values())
     print(
         json.dumps(
             {

@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data-parallel", type=int, default=0,
                         help="shard the ray batch over this many devices "
                              "(0 = single device)")
+    parser.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
+                        help="MLP evaluation path: plain XLA or the fused "
+                             "Pallas ray-march kernel (TPU only)")
     parser.add_argument("--seed", type=int, default=0)
 
     simple_parser = subparsers.add_parser("simple")
@@ -83,6 +86,14 @@ def make_mesh_or_none(n: int):
     return None
 
 
+def make_mlp_apply(kernel: str):
+    if kernel == "pallas":
+        from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
+
+        return make_pallas_mlp_apply(differentiable=True)
+    return None
+
+
 def train_full_nerf(args) -> None:
     from minimal_nerf_tpu.training.trainer import Trainer
 
@@ -104,6 +115,7 @@ def train_full_nerf(args) -> None:
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
         resume_ckpt=args.ckpt, mesh=make_mesh_or_none(args.data_parallel),
+        mlp_apply=make_mlp_apply(args.kernel),
     )
     trainer.fit()
 
@@ -126,7 +138,7 @@ def train_single_nerf(args) -> None:
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
         resume_ckpt=args.ckpt, mesh=make_mesh_or_none(args.data_parallel),
-        mode="single",
+        mlp_apply=make_mlp_apply(args.kernel), mode="single",
     )
     trainer.fit()
 
