@@ -1,0 +1,73 @@
+"""End-to-end demo on a self-generated procedural scene (no dataset needed).
+
+Generates an analytic sphere-field scene, trains the full hierarchical NeRF,
+renders a 360-degree orbit gif, and scores PSNR/SSIM on held-out test views —
+the whole reference workflow (train_nerf.py -> render.py -> score.py) in one
+script. Works on CPU (tiny config) or TPU (pass --steps 3000 --size 100).
+
+Usage:
+    python examples/demo_procedural.py --out /tmp/nerf_demo --steps 500
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--out", default="/tmp/nerf_demo")
+    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--size", type=int, default=64)
+    parser.add_argument("--rays", type=int, default=1024)
+    parser.add_argument("--coarse", type=int, default=32)
+    parser.add_argument("--fine", type=int, default=32)
+    parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    parser.add_argument("--kernel", default="xla", choices=["xla", "pallas"])
+    args = parser.parse_args()
+
+    out = Path(args.out)
+    scene_dir = out / "scene"
+
+    from minimal_nerf_tpu.data.procedural import make_procedural_scene, save_scene_tree
+
+    if not (scene_dir / "transforms_train.json").exists():
+        print(f"[demo] generating procedural scene at {scene_dir} ...")
+        scenes, _ = make_procedural_scene(
+            split_frames=(("train", 20), ("val", 2), ("test", 4)),
+            height=args.size, width=args.size,
+        )
+        save_scene_tree(scenes, scene_dir)
+
+    import train_nerf
+
+    print(f"[demo] training {args.steps} steps ...")
+    train_nerf.main([
+        "-n", "demo", "-s", str(args.steps), "-r", str(args.rays),
+        "-rd", str(out), "--precision", args.precision, "--kernel", args.kernel,
+        "full", "-b", str(scene_dir), "-c", str(args.coarse),
+        "-f", str(args.fine), "-cr", "0",
+    ])
+
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+
+    ckpt = ckpt_lib.latest_checkpoint(out / "demo" / "checkpoints")
+    print(f"[demo] latest checkpoint: {ckpt}")
+
+    import render as render_cli
+
+    gif = render_cli.render(str(ckpt), out / "recons", rays=args.rays,
+                            num_poses=10, height=args.size, width=args.size)
+    print(f"[demo] wrote {gif}")
+
+    import score as score_cli
+
+    psnr, ssim = score_cli.calculate_scores(str(ckpt), scene_dir, rays=args.rays)
+    print(f"[demo] test PSNR {psnr:.2f} dB, SSIM {ssim:.4f}")
+
+
+if __name__ == "__main__":
+    main()
