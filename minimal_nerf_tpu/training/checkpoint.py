@@ -16,6 +16,8 @@ from __future__ import annotations
 import io
 import json
 import re
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -96,6 +98,45 @@ def restore_state(header, leaves, params_template, opt_state_template):
         new_leaves.append(jax.numpy.asarray(leaf, dtype=t_arr.dtype))
     state = jax.tree_util.tree_unflatten(treedef, new_leaves)
     return state["params"], state["opt_state"]
+
+
+_SAVE_POOL: Optional[ThreadPoolExecutor] = None
+_SAVE_POOL_LOCK = threading.Lock()
+
+
+def save_checkpoint_async(
+    path,
+    params,
+    opt_state,
+    step: int,
+    nerf_config_dict: Dict[str, Any],
+    train_config_dict: Dict[str, Any],
+    extra: Optional[Dict[str, Any]] = None,
+) -> "Future[Path]":
+    """Non-blocking checkpoint save.
+
+    Device arrays are fetched to host synchronously (cheap relative to a
+    training epoch; required so training can donate/overwrite the buffers),
+    then serialization + disk IO run on a background thread — the TPU never
+    idles on file writes. Call ``.result()`` on the returned future to join.
+    """
+    global _SAVE_POOL
+    with _SAVE_POOL_LOCK:
+        if _SAVE_POOL is None:
+            _SAVE_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
+    host_state = jax.tree_util.tree_map(
+        lambda x: np.asarray(x), {"params": params, "opt_state": opt_state}
+    )
+    return _SAVE_POOL.submit(
+        save_checkpoint,
+        path,
+        host_state["params"],
+        host_state["opt_state"],
+        step,
+        nerf_config_dict,
+        train_config_dict,
+        extra,
+    )
 
 
 def checkpoint_name(name: str, epoch: int, step: int) -> str:

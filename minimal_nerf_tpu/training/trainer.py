@@ -183,7 +183,7 @@ class Trainer:
             elif (step + 1) % cfg.ckpt_every_steps == 0:
                 self.save(params, opt_state, step + 1)
 
-        self.save(params, opt_state, cfg.max_steps)
+        self.save(params, opt_state, cfg.max_steps, blocking=True)
         return params
 
     # ------------------------------------------------------------ validation
@@ -239,14 +239,16 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoints
 
-    def save(self, params, opt_state, step: int) -> Path:
+    def save(self, params, opt_state, step: int, blocking: bool = False):
         epoch = step // self.steps_per_epoch
         path = self.ckpt_dir / ckpt_lib.checkpoint_name(self.name, epoch, step)
-        return ckpt_lib.save_checkpoint(
+        fut = ckpt_lib.save_checkpoint_async(
             path, params, opt_state, step,
             self.nerf_config.to_dict(), self.train_config.to_dict(),
             extra={"mode": self.mode},
         )
+        self._pending_save = fut
+        return fut.result() if blocking else path
 
 
 def load_model_for_inference(ckpt_path):

@@ -12,15 +12,21 @@ from pathlib import Path
 
 
 def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
-           height: int = 800, width: int = 800) -> Path:
+           height: int = 800, width: int = 800, kernel: str = "xla") -> Path:
     from minimal_nerf_tpu import views
     from minimal_nerf_tpu.training.trainer import load_model_for_inference
 
     epoch_idx = ckpt.find("epoch=")
     epoch = ckpt[epoch_idx: epoch_idx + ckpt[epoch_idx:].find("-")]
     params, nerf_cfg, train_cfg = load_model_for_inference(ckpt)
+    mlp_apply = None
+    if kernel == "pallas":
+        from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
+
+        mlp_apply = make_pallas_mlp_apply()
     render_chunk = views.make_fine_render_chunk(
-        params, nerf_cfg, compute_dtype=train_cfg.compute_dtype
+        params, nerf_cfg, compute_dtype=train_cfg.compute_dtype,
+        mlp_apply=mlp_apply,
     )
     save_dir.mkdir(parents=True, exist_ok=True)
     return views.generate_360_view_synthesis(
@@ -41,7 +47,8 @@ if __name__ == "__main__":
                         help="where to save the resulting gif")
     parser.add_argument("--height", type=int, default=800)
     parser.add_argument("--width", type=int, default=800)
+    parser.add_argument("--kernel", choices=["xla", "pallas"], default="xla")
     args = parser.parse_args()
 
     render(args.ckpt, args.save_dir, args.rays, args.num_poses,
-           height=args.height, width=args.width)
+           height=args.height, width=args.width, kernel=args.kernel)

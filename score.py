@@ -14,7 +14,8 @@ from pathlib import Path
 import numpy as np
 
 
-def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0):
+def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
+                     kernel: str = "xla"):
     from minimal_nerf_tpu import views
     from minimal_nerf_tpu.data.synthetic import SyntheticScene
     from minimal_nerf_tpu.ops.image_metrics import (
@@ -27,8 +28,14 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0):
 
     params, nerf_cfg, train_cfg = load_model_for_inference(ckpt)
     scene = SyntheticScene.load(base_dir, "test")
+    mlp_apply = None
+    if kernel == "pallas":
+        from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
+
+        mlp_apply = make_pallas_mlp_apply()
     render_chunk = views.make_fine_render_chunk(
-        params, nerf_cfg, compute_dtype=train_cfg.compute_dtype
+        params, nerf_cfg, compute_dtype=train_cfg.compute_dtype,
+        mlp_apply=mlp_apply,
     )
 
     n = scene.num_frames if not limit else min(limit, scene.num_frames)
@@ -70,6 +77,8 @@ if __name__ == "__main__":
                         help="dataset directory")
     parser.add_argument("--limit", type=int, default=0,
                         help="score only the first N test views (0 = all)")
+    parser.add_argument("--kernel", choices=["xla", "pallas"], default="xla")
     args = parser.parse_args()
 
-    calculate_scores(args.ckpt, args.base_dir, args.rays, limit=args.limit)
+    calculate_scores(args.ckpt, args.base_dir, args.rays, limit=args.limit,
+                     kernel=args.kernel)
