@@ -35,6 +35,12 @@ class NeRFConfig:
     fine_samples: int = 128
     near: float = 2.0
     far: float = 6.0
+    # "reference": independent uniform jitter inside the selected coarse bin
+    # (reference nerf_helpers.py:154) + full sort of the 192-sample union.
+    # "linterp": bmild-style linear inverse-CDF interpolation — fine ts come
+    # out sorted, so the union is an O(n) merge instead of a sort (TPU fast
+    # path; statistically equivalent low-variance sampling).
+    fine_sampling: str = "reference"
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -104,19 +110,34 @@ def render_rays(
     # the two nets through the sample positions (torch's searchsorted/gather
     # chain is likewise non-differentiable w.r.t. weights in the bin-index
     # path; we cut the whole thing explicitly).
-    fine_samples, fine_ts = rendering.inverse_transform_sampling(
-        k_cdf,
-        o_rays,
-        d_rays,
-        jax.lax.stop_gradient(coarse_weights),
-        jax.lax.stop_gradient(coarse_ts),
-        config.fine_samples,
-        config.near,
-        config.far,
-    )
-    all_samples, all_ts = rendering.union_and_sort_ts(
-        o_rays, d_rays, fine_ts, jax.lax.stop_gradient(coarse_ts)
-    )
+    if config.fine_sampling == "linterp":
+        fine_samples, fine_ts = rendering.inverse_transform_sampling_linterp(
+            k_cdf,
+            o_rays,
+            d_rays,
+            jax.lax.stop_gradient(coarse_weights),
+            jax.lax.stop_gradient(coarse_ts),
+            config.fine_samples,
+            config.near,
+            config.far,
+        )
+        all_samples, all_ts = rendering.merge_sorted_ts(
+            o_rays, d_rays, fine_ts, jax.lax.stop_gradient(coarse_ts)
+        )
+    else:
+        fine_samples, fine_ts = rendering.inverse_transform_sampling(
+            k_cdf,
+            o_rays,
+            d_rays,
+            jax.lax.stop_gradient(coarse_weights),
+            jax.lax.stop_gradient(coarse_ts),
+            config.fine_samples,
+            config.near,
+            config.far,
+        )
+        all_samples, all_ts = rendering.union_and_sort_ts(
+            o_rays, d_rays, fine_ts, jax.lax.stop_gradient(coarse_ts)
+        )
 
     # Fine pass over the sorted 64+128-point union.
     fine_density, fine_rgb = apply_fn(

@@ -168,6 +168,99 @@ def inverse_transform_sampling(
     return fine_samples, fine_ts
 
 
+def inverse_transform_sampling_linterp(
+    key: jax.Array,
+    o_rays: jnp.ndarray,
+    d_rays: jnp.ndarray,
+    weights: jnp.ndarray,
+    ts: jnp.ndarray,
+    num_samples: int,
+    near: float = 2.0,
+    far: float = 6.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse-CDF sampling with in-bin LINEAR INTERPOLATION (bmild-style).
+
+    Identical to ``inverse_transform_sampling`` except the position inside the
+    selected coarse bin is the exact linear inverse of the piecewise-linear
+    CDF instead of an independent uniform jitter (the reference's docstring
+    itself flags its jitter as non-standard, ``nerf_helpers.py:113-115``).
+
+    Because the low-variance ``u`` grid is strictly increasing and the
+    piecewise-linear CDF inverse is monotone, the returned ``fine_ts`` is
+    ALREADY SORTED per ray — enabling an O(n) merge with the sorted coarse
+    ts instead of a full sort (the TPU fast path).
+
+    Returns:
+        ``fine_samples [N, S, 3]``, ``fine_ts [N, S, 1]`` sorted along S.
+    """
+    n, c, _ = ts.shape
+    dtype = ts.dtype
+    k_eps, _ = jax.random.split(key)
+
+    cdf = jnp.cumsum(weights[..., 0], axis=1)  # [N, C]
+    cdf = cdf / (cdf[:, -1:] + 1e-10)
+
+    eps = jax.random.uniform(k_eps, (n, 1), dtype=dtype) / num_samples
+    grid = jnp.arange(num_samples, dtype=dtype) / num_samples
+    u = grid[None, :] + eps  # strictly increasing per ray
+
+    lower_idxs = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(cdf, u)
+
+    cdf_edges = jnp.concatenate(
+        [jnp.zeros((n, 1), dtype), cdf], axis=1
+    )  # [N, C+1]: CDF value at each bin's lower edge
+    bounds_lo = jnp.full((n, 1, 1), near, dtype=dtype)
+    bounds_hi = jnp.full((n, 1, 1), far, dtype=dtype)
+    ts_bounds = jnp.concatenate([bounds_lo, ts, bounds_hi], axis=1)[..., 0]
+
+    cdf_lo = jnp.take_along_axis(cdf_edges, lower_idxs, axis=1)
+    cdf_hi = jnp.take_along_axis(
+        jnp.concatenate([cdf, jnp.ones((n, 1), dtype)], axis=1), lower_idxs, axis=1
+    )
+    t_lo = jnp.take_along_axis(ts_bounds, lower_idxs, axis=1)
+    t_hi = jnp.take_along_axis(ts_bounds, lower_idxs + 1, axis=1)
+
+    denom = jnp.where(cdf_hi - cdf_lo < 1e-10, 1.0, cdf_hi - cdf_lo)
+    frac = jnp.clip((u - cdf_lo) / denom, 0.0, 1.0)
+    fine_ts = (t_lo + (t_hi - t_lo) * frac)[..., None]
+    fine_samples = o_rays[:, None, :] + fine_ts * d_rays[:, None, :]
+    return fine_samples, fine_ts
+
+
+def merge_sorted_ts(
+    o_rays: jnp.ndarray,
+    d_rays: jnp.ndarray,
+    fine_ts: jnp.ndarray,
+    coarse_ts: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Merge two per-ray SORTED ts arrays without a full sort.
+
+    Each element's merged position is its own index plus its rank in the
+    other array (two vmapped binary searches + one scatter) — O(n log n)
+    compares instead of a full 192-wide sorting network. Requires both inputs
+    sorted along axis 1 (``inverse_transform_sampling_linterp`` guarantees
+    this for the fine ts).
+
+    Returns:
+        ``samples [N, Sf+Sc, 3]``, ``ts [N, Sf+Sc, 1]`` sorted along axis 1.
+    """
+    f = fine_ts[..., 0]  # [N, Sf]
+    c = coarse_ts[..., 0]  # [N, Sc]
+    n, sf = f.shape
+    sc = c.shape[1]
+    # ranks: ties broken so fine elements come first (any consistent order)
+    rank_f = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(c, f)
+    rank_c = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(f, c)
+    pos_f = jnp.arange(sf)[None, :] + rank_f  # [N, Sf]
+    pos_c = jnp.arange(sc)[None, :] + rank_c  # [N, Sc]
+    merged = jnp.zeros((n, sf + sc), f.dtype)
+    merged = jax.vmap(lambda m, p, v: m.at[p].set(v))(merged, pos_f, f)
+    merged = jax.vmap(lambda m, p, v: m.at[p].set(v))(merged, pos_c, c)
+    all_ts = merged[..., None]
+    samples = o_rays[:, None, :] + all_ts * d_rays[:, None, :]
+    return samples, all_ts
+
+
 def union_and_sort_ts(
     o_rays: jnp.ndarray,
     d_rays: jnp.ndarray,

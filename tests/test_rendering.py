@@ -134,3 +134,65 @@ def test_weights_sum_bounded_by_one():
     w = rendering.calculate_unnormalized_weights(density, deltas)
     sums = np.asarray(w.sum(axis=1))
     assert np.all(sums <= 1.0 + 1e-5)
+
+
+def test_linterp_sampling_sorted_and_bounded():
+    key = jax.random.PRNGKey(11)
+    n, c, s = 16, 64, 128
+    o = jnp.zeros((n, 3))
+    d = jnp.ones((n, 3))
+    _, ts = rendering.generate_coarse_samples(key, o, d, c)
+    weights = jax.random.uniform(jax.random.fold_in(key, 1), (n, c, 1))
+    fine_samples, fine_ts = rendering.inverse_transform_sampling_linterp(
+        jax.random.fold_in(key, 2), o, d, weights, ts, s
+    )
+    f = np.asarray(fine_ts[..., 0])
+    assert np.all(np.diff(f, axis=1) >= 0), "linterp fine ts must be sorted"
+    assert f.min() >= 2.0 and f.max() <= 6.0
+
+
+def test_linterp_concentrates_like_reference():
+    key = jax.random.PRNGKey(12)
+    n, c, s = 8, 64, 128
+    o = jnp.zeros((n, 3))
+    d = jnp.ones((n, 3))
+    _, ts = rendering.generate_coarse_samples(key, o, d, c)
+    weights = jnp.zeros((n, c, 1)).at[:, 30, :].set(1.0)
+    _, fine_ts = rendering.inverse_transform_sampling_linterp(
+        jax.random.fold_in(key, 1), o, d, weights, ts, s
+    )
+    lo = np.asarray(ts[:, 29, 0])
+    hi = np.asarray(ts[:, 31, 0])
+    frac_in = np.mean(
+        (np.asarray(fine_ts[..., 0]) >= lo[:, None])
+        & (np.asarray(fine_ts[..., 0]) <= hi[:, None])
+    )
+    assert frac_in > 0.95
+
+
+def test_merge_sorted_ts_matches_full_sort():
+    key = jax.random.PRNGKey(13)
+    n = 8
+    o = jax.random.normal(key, (n, 3))
+    d = jax.random.normal(jax.random.fold_in(key, 1), (n, 3))
+    coarse = jnp.sort(jax.random.uniform(key, (n, 64, 1), minval=2, maxval=6), axis=1)
+    fine = jnp.sort(
+        jax.random.uniform(jax.random.fold_in(key, 2), (n, 128, 1), minval=2, maxval=6),
+        axis=1,
+    )
+    s_ref, t_ref = rendering.union_and_sort_ts(o, d, fine, coarse)
+    s_m, t_m = rendering.merge_sorted_ts(o, d, fine, coarse)
+    np.testing.assert_allclose(np.asarray(t_m), np.asarray(t_ref), atol=0)
+    np.testing.assert_allclose(np.asarray(s_m), np.asarray(s_ref), rtol=1e-6)
+
+
+def test_render_rays_linterp_mode():
+    from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network, render_rays
+
+    cfg = NeRFConfig(coarse_samples=16, fine_samples=16, fine_sampling="linterp")
+    key = jax.random.PRNGKey(14)
+    params = init_nerf_network(key, cfg)
+    o = jnp.zeros((8, 3))
+    d = jax.random.normal(key, (8, 3))
+    out = render_rays(params, cfg, o, d, jax.random.fold_in(key, 1))
+    assert np.all(np.isfinite(np.asarray(out["fine_rgb_rays"])))
