@@ -146,7 +146,11 @@ def sample_train_batch(
     origin, direc = cameras.rays_for_pixels(
         xs, ys, static.height, static.width, static.focal, c2w
     )
-    rgb = images[frame_idx, ys, xs, :].astype(jnp.float32) / 255.0
+    # flat single-axis gather (frame*H*W + y*W + x) — lowers to a simple
+    # row gather instead of a multi-dim fancy-index chain
+    flat = images.reshape(-1, images.shape[-1])
+    idx = (frame_idx * static.height + ys) * static.width + xs
+    rgb = flat[idx].astype(jnp.float32) / 255.0
     return {"origin": origin, "direc": direc, "rgb": rgb}
 
 

@@ -66,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                              help="far bound of dataset")
     full_parser.add_argument("-cr", "--cropping_epochs", type=int, default=10,
                              help="num. epochs to crop image for ray sampling.")
+    full_parser.add_argument("--fine-sampling", choices=["reference", "linterp"],
+                             default="reference",
+                             help="in-bin jitter (reference parity) vs linear "
+                                  "CDF interpolation (sort-free TPU fast path)")
 
     single_parser.add_argument("-b", "--base_dir", type=str, default="./dev_data/",
                                help="directory for dataset")
@@ -104,6 +108,7 @@ def train_full_nerf(args) -> None:
         fine_samples=args.fine,
         near=args.near,
         far=args.far,
+        fine_sampling=args.fine_sampling,
     )
     train_cfg = TrainConfig(
         num_rays=args.rays,
