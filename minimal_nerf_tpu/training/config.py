@@ -31,6 +31,10 @@ class TrainConfig:
     # steps per epoch; None -> number of train frames (reference: DataLoader
     # over F frames with batch_size=1 => F steps/epoch, F=100 for Blender).
     steps_per_epoch: Optional[int] = None
+    # fuse this many train steps into one lax.scan dispatch (amortizes host
+    # dispatch latency; 1 = plain per-step dispatch). Epoch/val boundaries
+    # are respected by falling back to single steps near them.
+    steps_per_call: int = 1
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

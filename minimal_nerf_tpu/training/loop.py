@@ -233,6 +233,7 @@ def make_multi_step(
     num_inner: int,
     mesh=None,
     mlp_apply=None,
+    loss_fn: Callable = nerf_loss,
 ) -> Tuple[Callable, optax.GradientTransformation]:
     """``num_inner`` train steps fused into one ``lax.scan`` dispatch.
 
@@ -259,7 +260,7 @@ def make_multi_step(
             )
             if mesh is not None:
                 batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
-            (_, metrics), grads = jax.value_and_grad(nerf_loss, has_aux=True)(
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, nerf_cfg, batch["origin"], batch["direc"], batch["rgb"],
                 k_render, compute_dtype, mlp_apply,
             )

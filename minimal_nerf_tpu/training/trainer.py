@@ -85,6 +85,15 @@ class Trainer:
             nerf_config, train_config, self.static, mesh=mesh,
             mlp_apply=mlp_apply, loss_fn=loss_fn,
         )
+        self.multi_fn = None
+        if train_config.steps_per_call > 1:
+            from minimal_nerf_tpu.training.loop import make_multi_step
+
+            self.multi_fn, _ = make_multi_step(
+                nerf_config, train_config, self.static,
+                num_inner=train_config.steps_per_call, mesh=mesh,
+                mlp_apply=mlp_apply, loss_fn=loss_fn,
+            )
         self.eval_fn = (
             make_eval_step(nerf_config, train_config, mesh=mesh, mlp_apply=mlp_apply)
             if mode == "full"
@@ -153,18 +162,39 @@ class Trainer:
             {**self.nerf_config.to_dict(), **cfg.to_dict(), "name": self.name}
         )
 
+        # boundaries at which per-step work (logging/val/ckpt) happens; the
+        # scan-fused multi-step may only run strictly between them
+        def next_boundary(s: int) -> int:
+            candidates = [cfg.max_steps]
+            for period in (cfg.log_every, self.steps_per_epoch, cfg.ckpt_every_steps):
+                if period and period > 0:
+                    candidates.append((s // period + 1) * period)
+            return min(c for c in candidates if c > s)
+
         pending_metrics = None
         t_last = time.perf_counter()
         steps_since_log = 0
-        for step in range(start_step, cfg.max_steps):
-            params, opt_state, metrics = self.step_fn(
-                params, opt_state, arrays["images"], arrays["poses"],
-                step, self.base_key,
-            )
+        step = start_step
+        while step < cfg.max_steps:
+            boundary = next_boundary(step)
+            spc = cfg.steps_per_call
+            if self.multi_fn is not None and boundary - step >= spc:
+                params, opt_state, metrics = self.multi_fn(
+                    params, opt_state, arrays["images"], arrays["poses"],
+                    step, self.base_key,
+                )
+                advanced = spc
+            else:
+                params, opt_state, metrics = self.step_fn(
+                    params, opt_state, arrays["images"], arrays["poses"],
+                    step, self.base_key,
+                )
+                advanced = 1
+            step += advanced
             pending_metrics = metrics
-            steps_since_log += 1
+            steps_since_log += advanced
 
-            if (step + 1) % cfg.log_every == 0 or step + 1 == cfg.max_steps:
+            if step % cfg.log_every == 0 or step == cfg.max_steps:
                 fetched = {
                     k: float(v) for k, v in jax.device_get(pending_metrics).items()
                 }
@@ -172,16 +202,16 @@ class Trainer:
                 it_s = steps_since_log / (now - t_last)
                 fetched["iterations_per_sec"] = it_s
                 fetched["rays_per_sec"] = it_s * cfg.num_rays
-                self.logger.log_scalars(step + 1, fetched)
+                self.logger.log_scalars(step, fetched)
                 t_last, steps_since_log = now, 0
 
-            epoch_end = (step + 1) % self.steps_per_epoch == 0
-            epoch = (step + 1) // self.steps_per_epoch
+            epoch_end = step % self.steps_per_epoch == 0
+            epoch = step // self.steps_per_epoch
             if epoch_end and epoch % cfg.check_val_every_n_epoch == 0:
-                self.validate(params, step + 1)
-                self.save(params, opt_state, step + 1)
-            elif (step + 1) % cfg.ckpt_every_steps == 0:
-                self.save(params, opt_state, step + 1)
+                self.validate(params, step)
+                self.save(params, opt_state, step)
+            elif step % cfg.ckpt_every_steps == 0:
+                self.save(params, opt_state, step)
 
         self.save(params, opt_state, cfg.max_steps, blocking=True)
         return params

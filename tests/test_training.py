@@ -169,3 +169,35 @@ def test_trainer_resume(fixture_scene, tmp_path):
     )
     params, opt_state, start = t2.init_state()
     assert start == 4
+
+
+def test_trainer_steps_per_call(fixture_scene, tmp_path):
+    # chunked multi-step dispatch must produce the same boundaries + ckpts
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(
+        num_rays=64, max_steps=12, cropping_epochs=0, log_every=6,
+        check_val_every_n_epoch=2, ckpt_every_steps=100, precision="fp32",
+        steps_per_call=4,
+    )
+    trainer = Trainer(nerf_cfg, train_cfg, fixture_scene, tmp_path, name="spc")
+    trainer.fit()
+    ckpts = list((tmp_path / "spc" / "checkpoints").glob("*.ckpt"))
+    assert ckpts
+    assert (tmp_path / "spc" / "metrics.csv").exists()
+
+
+def test_trainer_steps_per_call_matches_single(fixture_scene, tmp_path):
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    base = dict(
+        num_rays=32, max_steps=8, cropping_epochs=0, log_every=100,
+        check_val_every_n_epoch=1000, ckpt_every_steps=1000, precision="fp32",
+    )
+    t1 = Trainer(nerf_cfg, TrainConfig(**base), fixture_scene, tmp_path, name="a")
+    p1 = t1.fit()
+    t2 = Trainer(
+        nerf_cfg, TrainConfig(**base, steps_per_call=4), fixture_scene,
+        tmp_path, name="b",
+    )
+    p2 = t2.fit()
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
