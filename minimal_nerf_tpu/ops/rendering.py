@@ -151,7 +151,9 @@ def inverse_transform_sampling(
     u = grid[None, :] + eps  # [N, S], u < 1
 
     # First index where cdf[idx] >= u (torch.searchsorted right=False).
-    lower_idxs = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(cdf, u)
+    lower_idxs = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="left", method="compare_all")
+    )(cdf, u)
     lower_idxs = lower_idxs[..., None]  # [N, S, 1]
     upper_idxs = lower_idxs + 1
 
@@ -204,7 +206,9 @@ def inverse_transform_sampling_linterp(
     grid = jnp.arange(num_samples, dtype=dtype) / num_samples
     u = grid[None, :] + eps  # strictly increasing per ray
 
-    lower_idxs = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(cdf, u)
+    lower_idxs = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="left", method="compare_all")
+    )(cdf, u)
 
     cdf_edges = jnp.concatenate(
         [jnp.zeros((n, 1), dtype), cdf], axis=1
@@ -249,8 +253,12 @@ def merge_sorted_ts(
     n, sf = f.shape
     sc = c.shape[1]
     # ranks: ties broken so fine elements come first (any consistent order)
-    rank_f = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="left"))(c, f)
-    rank_c = jax.vmap(lambda a, v: jnp.searchsorted(a, v, side="right"))(f, c)
+    rank_f = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="left", method="compare_all")
+    )(c, f)
+    rank_c = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="right", method="compare_all")
+    )(f, c)
     pos_f = jnp.arange(sf)[None, :] + rank_f  # [N, Sf]
     pos_c = jnp.arange(sc)[None, :] + rank_c  # [N, Sc]
     merged = jnp.zeros((n, sf + sc), f.dtype)
