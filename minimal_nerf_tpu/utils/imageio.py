@@ -26,7 +26,7 @@ except ImportError:  # pragma: no cover
 def imread(path: str | Path) -> np.ndarray:
     """Read an image as ``[H, W, 3]`` uint8 RGB (alpha dropped, gray expanded)."""
     if _imageio is not None:
-        arr = np.asarray(_imageio.imread(str(path), pilmode="RGB"))
+        arr = np.asarray(_imageio.imread(str(path), mode="RGB"))
     elif _PILImage is not None:
         arr = np.asarray(_PILImage.open(str(path)).convert("RGB"))
     else:  # pragma: no cover

@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
                         help="MLP evaluation path: plain XLA or the fused "
                              "Pallas ray-march kernel (TPU only)")
+    parser.add_argument("--steps-per-call", type=int, default=1,
+                        help="fuse N train steps per dispatch via lax.scan")
     parser.add_argument("--seed", type=int, default=0)
 
     simple_parser = subparsers.add_parser("simple")
@@ -116,6 +118,7 @@ def train_full_nerf(args) -> None:
         cropping_epochs=args.cropping_epochs,
         precision=args.precision,
         seed=args.seed,
+        steps_per_call=args.steps_per_call,
     )
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
@@ -139,6 +142,7 @@ def train_single_nerf(args) -> None:
         cropping_epochs=0,
         precision=args.precision,
         seed=args.seed,
+        steps_per_call=args.steps_per_call,
     )
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
