@@ -35,6 +35,12 @@ class TrainConfig:
     # dispatch latency; 1 = plain per-step dispatch). Epoch/val boundaries
     # are respected by falling back to single steps near them.
     steps_per_call: int = 1
+    # PRNG implementation for the training key stream. "threefry2x32" is
+    # JAX's default (counter-based; lowers to a slow rolled loop on TPU —
+    # profiled at ~14ms of a 70ms step); "rbg" uses the hardware-friendly
+    # RBG generator: same statistical quality for sampling jitter, far
+    # cheaper on TPU.
+    rng_impl: str = "threefry2x32"
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

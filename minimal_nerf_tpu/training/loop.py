@@ -251,7 +251,7 @@ def make_multi_step(
 
     def multi_fn(params, opt_state, images, poses, start_step, base_key):
         def one_step(carry, step):
-            params, opt_state = carry
+            params, opt_state, _ = carry
             key = jax.random.fold_in(base_key, step)
             k_batch, k_render = jax.random.split(key)
             batch = sample_train_batch(
@@ -266,13 +266,19 @@ def make_multi_step(
             )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return (params, opt_state), metrics
+            # metrics ride the carry (overwritten each step) instead of a
+            # stacked scan output — avoids per-step dynamic-update-slices
+            return (params, opt_state, metrics), None
 
         steps = start_step + jnp.arange(num_inner)
-        (params, opt_state), metrics = jax.lax.scan(
-            one_step, (params, opt_state), steps
+        metrics0 = {
+            "train_loss": jnp.float32(0),
+            "train_coarse_loss": jnp.float32(0),
+            "train_fine_loss": jnp.float32(0),
+        } if loss_fn is nerf_loss else {"train_loss": jnp.float32(0)}
+        (params, opt_state, last_metrics), _ = jax.lax.scan(
+            one_step, (params, opt_state, metrics0), steps
         )
-        last_metrics = jax.tree_util.tree_map(lambda m: m[-1], metrics)
         last_metrics = dict(last_metrics, lr=lr_sched(start_step + num_inner - 1))
         return params, opt_state, last_metrics
 

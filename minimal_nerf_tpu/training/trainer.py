@@ -99,7 +99,9 @@ class Trainer:
             if mode == "full"
             else self._make_single_eval()
         )
-        self.base_key = jax.random.PRNGKey(train_config.seed)
+        self.base_key = jax.random.key(
+            train_config.seed, impl=train_config.rng_impl
+        )
 
     def _make_single_eval(self):
         cfg = self.train_config
