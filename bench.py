@@ -39,8 +39,10 @@ def main() -> None:
         height=height, width=width, focal=1111.111, num_frames=num_frames
     )
 
+    from minimal_nerf_tpu.data.synthetic import pack_images
+
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
+    images = pack_images(
         rng.integers(0, 256, (num_frames, height, width, 3), dtype=np.uint8)
     )
     poses = np.tile(np.eye(4, dtype=np.float32), (num_frames, 1, 1))

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from minimal_nerf_tpu.data.synthetic import sample_random_coordinates
+from minimal_nerf_tpu.data.synthetic import gather_pixels, sample_random_coordinates
 from minimal_nerf_tpu.models.nerf import NeRFConfig, render_rays, render_single
 from minimal_nerf_tpu.ops import cameras
 from minimal_nerf_tpu.parallel import mesh as pmesh
@@ -134,8 +134,13 @@ def sample_train_batch(
     """
     k_perm, k_pix = jax.random.split(key)
     epoch = step // steps_per_epoch
-    perm = jax.random.permutation(
-        jax.random.fold_in(k_perm, epoch), static.num_frames
+    # uniform per-epoch permutation via argsort of uniforms — equivalent to
+    # jax.random.permutation but lowers to one fast sort op instead of the
+    # serial swap loop (profiled at ~14ms/step on TPU)
+    perm = jnp.argsort(
+        jax.random.uniform(
+            jax.random.fold_in(k_perm, epoch), (static.num_frames,)
+        )
     )
     frame_idx = perm[step % steps_per_epoch % static.num_frames]
     cropping = epoch < cropping_epochs
@@ -146,11 +151,10 @@ def sample_train_batch(
     origin, direc = cameras.rays_for_pixels(
         xs, ys, static.height, static.width, static.focal, c2w
     )
-    # flat single-axis gather (frame*H*W + y*W + x) — lowers to a simple
-    # row gather instead of a multi-dim fancy-index chain
-    flat = images.reshape(-1, images.shape[-1])
+    # images arrive channel-major packed ([3, F*H*W] uint8, see
+    # data.synthetic.pack_images) so this is three layout-native 1-D gathers
     idx = (frame_idx * static.height + ys) * static.width + xs
-    rgb = flat[idx].astype(jnp.float32) / 255.0
+    rgb = gather_pixels(images, idx)
     return {"origin": origin, "direc": direc, "rgb": rgb}
 
 
