@@ -54,20 +54,44 @@ def sample_random_coordinates(
     return xs, ys
 
 
+# row width of the 2-D pixel table used for two-level gathers
+_GATHER_ROW = 512
+
+
 def pack_images(images: np.ndarray) -> jnp.ndarray:
-    """Pack ``[F, H, W, 3]`` uint8 images to channel-major ``[3, F*H*W]``."""
+    """Pack ``[F, H, W, 3]`` uint8 images into one uint32 word per pixel.
+
+    Layout: ``[ceil(F*H*W / 512), 512] uint32`` with ``r | g<<8 | b<<16``.
+    Rationale (profiled on v5e): XLA lowers narrow random gathers from huge
+    uint8 arrays terribly (per-channel slice-reduce fusions at ~3.4ms each);
+    a single u32 word per pixel gathered as row-gather + in-row
+    ``take_along_axis`` is layout-native and costs microseconds. Bit unpack
+    is free VPU work.
+    """
     f, h, w, c = images.shape
-    return jnp.asarray(
-        np.ascontiguousarray(np.moveaxis(images, -1, 0).reshape(c, f * h * w))
-    )
+    flat = images.reshape(-1, c).astype(np.uint32)
+    words = flat[:, 0] | (flat[:, 1] << 8) | (flat[:, 2] << 16)
+    n = words.shape[0]
+    pad = (-n) % _GATHER_ROW
+    if pad:
+        words = np.concatenate([words, np.zeros(pad, np.uint32)])
+    return jnp.asarray(words.reshape(-1, _GATHER_ROW))
 
 
-def gather_pixels(
-    packed: jnp.ndarray, flat_idx: jnp.ndarray
-) -> jnp.ndarray:
-    """Gather ``[N, 3]`` fp32 colors in [0,1] from packed channel-major images."""
-    channels = [packed[c][flat_idx] for c in range(3)]
-    return jnp.stack(channels, axis=-1).astype(jnp.float32) / 255.0
+def gather_pixels(packed: jnp.ndarray, flat_idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather ``[N, 3]`` fp32 colors in [0,1] from ``pack_images`` output.
+
+    Two-level gather: fetch whole 512-pixel rows, then select within rows —
+    both layout-native ops on TPU.
+    """
+    row = flat_idx // _GATHER_ROW
+    col = flat_idx % _GATHER_ROW
+    rows = packed[row]  # [N, 512] u32 row gather
+    words = jnp.take_along_axis(rows, col[:, None], axis=1)[:, 0]
+    r = words & 0xFF
+    g = (words >> 8) & 0xFF
+    b = (words >> 16) & 0xFF
+    return jnp.stack([r, g, b], axis=-1).astype(jnp.float32) / 255.0
 
 
 @dataclasses.dataclass
