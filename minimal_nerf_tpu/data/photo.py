@@ -57,6 +57,28 @@ class PhotoDataset:
             yield coords[idx], rgb[idx]
 
 
+def getPhotoDataloader(im_path, batch_size: int = 1024, seed: int = 0,
+                       shuffle: bool = True):
+    """Factory mirroring reference ``dataloader.getPhotoDataloader``:
+    returns a ``(dataset, epoch_iterator_factory)``-style callable object."""
+    import jax
+
+    ds = PhotoDataset(im_path)
+
+    def epoch(epoch_idx: int = 0):
+        return ds.batches(
+            jax.random.PRNGKey(seed + epoch_idx), batch_size, shuffle=shuffle
+        )
+
+    ds.epoch = epoch  # type: ignore[attr-defined]
+    return ds
+
+
+def getValDataloader(im_path, batch_size: int = 1, shuffle: bool = False):
+    """Factory mirroring reference ``dataloader.getValDataloader``."""
+    return ValDataset(im_path)
+
+
 class ValDataset:
     """Single-item dataset carrying the image size (reference ``dataloader.py:188-203``)."""
 

@@ -206,6 +206,16 @@ class SyntheticScene:
         )
 
 
+def getSyntheticDataloader(
+    base_dir, tvt: str, num_rays: int, cropping: bool = False, seed: int = 0
+) -> "SyntheticDataset":
+    """Factory mirroring reference ``dataloader.getSyntheticDataloader``
+    (``dataloader.py:160-162``); the returned dataset is directly iterable
+    (one ray-batch dict per frame) — no worker processes needed since data
+    is device-resident."""
+    return SyntheticDataset(base_dir, tvt, num_rays, cropping=cropping, seed=seed)
+
+
 class SyntheticDataModule:
     """Reference-shaped data module (``dataloader.SyntheticDataModule``).
 

@@ -8,8 +8,10 @@ from minimal_nerf_tpu.models.mlp import (  # noqa: F401
 from minimal_nerf_tpu.models.nerf import (  # noqa: F401
     NeRFConfig,
     NeRFNetwork,
+    SingleNeRF,
     init_nerf_network,
     render_rays,
+    render_single,
 )
 from minimal_nerf_tpu.models.image_nerf import (  # noqa: F401
     ImageNeRFModel,

@@ -199,6 +199,62 @@ def render_single(
     }
 
 
+class SingleNeRF:
+    """Coarse-only NeRF wrapper (reference ``SingleNeRF``, ``nerf_model.py:208-305``).
+
+    Debug/ablation model: one MLP, stratified sampling only. Training uses
+    ``Trainer(mode="single")``; this class provides the forward surface.
+    """
+
+    def __init__(
+        self,
+        position_dim: int = 10,
+        direction_dim: int = 4,
+        num_samples: int = 128,
+        near: float = 2.0,
+        far: float = 6.0,
+        params: Optional[Params] = None,
+        seed: int = 0,
+        compute_dtype=None,
+    ):
+        from minimal_nerf_tpu.models.mlp import init_nerf_mlp
+
+        self.config = NeRFConfig(
+            position_dim=position_dim,
+            direction_dim=direction_dim,
+            coarse_samples=num_samples,
+            near=near,
+            far=far,
+        )
+        self.num_samples = num_samples
+        self.compute_dtype = compute_dtype
+        self._base_key = jax.random.PRNGKey(seed)
+        self._call_count = 0
+        self.params = (
+            params
+            if params is not None
+            else init_nerf_mlp(
+                jax.random.fold_in(self._base_key, 1), position_dim, direction_dim
+            )
+        )
+
+    def forward(self, o_rays, d_rays, key: Optional[jax.Array] = None):
+        if key is None:
+            key = jax.random.fold_in(self._base_key, self._call_count)
+            self._call_count += 1
+        return render_single(
+            self.params,
+            self.config,
+            jnp.asarray(o_rays),
+            jnp.asarray(d_rays),
+            key,
+            num_samples=self.num_samples,
+            compute_dtype=self.compute_dtype,
+        )
+
+    __call__ = forward
+
+
 class NeRFNetwork:
     """Thin config+params wrapper mirroring the reference's public surface.
 

@@ -125,3 +125,22 @@ def test_synthetic_datamodule_crop_switch(fixture_scene):
     dm.current_epoch = 2
     assert dm.train_dataloader().cropping is False
     assert dm.val_dataloader().tvt == "val"
+
+
+def test_dataloader_factories(fixture_scene):
+    from minimal_nerf_tpu.data import (
+        getPhotoDataloader,
+        getSyntheticDataloader,
+        getValDataloader,
+    )
+
+    sdl = getSyntheticDataloader(fixture_scene, "train", 16)
+    batches = [b for b in sdl]
+    assert len(batches) == 3 and batches[0]["origin"].shape == (16, 3)
+
+    pdl = getPhotoDataloader(str(fixture_scene / "train" / "r_0.png"), batch_size=8)
+    coords, rgb = next(pdl.epoch(0))
+    assert coords.shape == (8, 2)
+
+    vdl = getValDataloader(str(fixture_scene / "train" / "r_0.png"))
+    assert vdl[0] == (64, 64)

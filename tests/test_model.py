@@ -139,3 +139,12 @@ def test_bf16_compute_close_to_fp32():
     np.testing.assert_allclose(
         out32["fine_rgb_rays"], out16["fine_rgb_rays"], atol=0.08
     )
+
+
+def test_single_nerf_wrapper():
+    from minimal_nerf_tpu.models import SingleNeRF
+
+    net = SingleNeRF(num_samples=16)
+    out = net.forward(jnp.zeros((4, 3)), jnp.ones((4, 3)))
+    assert out["pred_rgbs"].shape == (4, 3)
+    assert out["density"].shape == (4, 16, 1)
