@@ -52,9 +52,13 @@ def main() -> None:
     num_inner = 20
     base_key = jax.random.PRNGKey(0)
 
-    def measure(mlp_apply, label):
+    def measure(mlp_apply, label, loss_fn=None):
+        kwargs = {}
+        if loss_fn is not None:
+            kwargs["loss_fn"] = loss_fn
         multi_fn, tx = make_multi_step(
-            nerf_cfg, train_cfg, static, num_inner=num_inner, mlp_apply=mlp_apply
+            nerf_cfg, train_cfg, static, num_inner=num_inner,
+            mlp_apply=mlp_apply, **kwargs,
         )
         params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
         opt_state = tx.init(params)
@@ -88,17 +92,30 @@ def main() -> None:
         )
         return rps
 
+    import functools
+
+    from minimal_nerf_tpu.kernels.fused_raymarch import make_fused_render_fn
     from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
+    from minimal_nerf_tpu.training.loop import nerf_loss
 
     results = {}
+    try:
+        results["fused"] = measure(
+            None, "fused",
+            loss_fn=functools.partial(nerf_loss, render_fn=make_fused_render_fn()),
+        )
+    except Exception as e:  # pragma: no cover - kernel path may fail off-TPU
+        print(f"[bench] fused path failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     try:
         results["pallas"] = measure(
             make_pallas_mlp_apply(differentiable=True), "pallas"
         )
-    except Exception as e:  # pragma: no cover - kernel path may fail off-TPU
+    except Exception as e:  # pragma: no cover
         print(f"[bench] pallas path failed: {type(e).__name__}: {e}",
               file=sys.stderr)
-    results["xla"] = measure(None, "xla")
+    if not results:
+        results["xla"] = measure(None, "xla")
     rays_per_sec = max(results.values())
     print(
         json.dumps(

@@ -79,9 +79,15 @@ def nerf_loss(
     key: jax.Array,
     compute_dtype=None,
     mlp_apply=None,
+    render_fn=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """``MSE(coarse, gt) + MSE(fine, gt)`` (reference ``nerf_model.py:158-161``)."""
-    out = render_rays(
+    """``MSE(coarse, gt) + MSE(fine, gt)`` (reference ``nerf_model.py:158-161``).
+
+    ``render_fn`` overrides the hierarchical render (e.g. the fully-fused
+    Pallas path ``kernels.fused_raymarch.render_rays_fused``).
+    """
+    render = render_fn if render_fn is not None else render_rays
+    out = render(
         params, nerf_cfg, o_rays, d_rays, key,
         compute_dtype=compute_dtype, mlp_apply=mlp_apply,
     )
@@ -205,17 +211,19 @@ def make_train_step(
 
 
 def make_eval_step(
-    nerf_cfg: NeRFConfig, train_cfg: TrainConfig, mesh=None, mlp_apply=None
+    nerf_cfg: NeRFConfig, train_cfg: TrainConfig, mesh=None, mlp_apply=None,
+    render_fn=None,
 ) -> Callable:
     """Jitted validation step over a pre-sampled ray batch: the three val losses."""
     compute_dtype = train_cfg.compute_dtype
+    render = render_fn if render_fn is not None else render_rays
 
     def eval_fn(params, origin, direc, rgb, key):
         if mesh is not None:
             origin = pmesh.shard_batch(origin, mesh)
             direc = pmesh.shard_batch(direc, mesh)
             rgb = pmesh.shard_batch(rgb, mesh)
-        out = render_rays(
+        out = render(
             params, nerf_cfg, origin, direc, key,
             compute_dtype=compute_dtype, mlp_apply=mlp_apply,
         )

@@ -17,6 +17,7 @@ TPU specifics: metrics stay on device and are fetched only every
 
 from __future__ import annotations
 
+import functools
 import time
 from pathlib import Path
 from typing import Optional
@@ -53,11 +54,13 @@ class Trainer:
         resume_ckpt: Optional[str] = None,
         mesh=None,
         mlp_apply=None,
+        render_fn=None,
         logger: Optional[MetricsLogger] = None,
         mode: str = "full",
     ):
         assert mode in ("full", "single"), mode
         self.mode = mode
+        self.render_fn = render_fn
         self.nerf_config = nerf_config
         self.train_config = train_config
         self.base_dir = base_dir
@@ -80,7 +83,14 @@ class Trainer:
         self.steps_per_epoch = (
             train_config.steps_per_epoch or self.static.num_frames
         )
-        loss_fn = nerf_loss if mode == "full" else single_nerf_loss
+        if mode == "full":
+            loss_fn = (
+                functools.partial(nerf_loss, render_fn=render_fn)
+                if render_fn is not None
+                else nerf_loss
+            )
+        else:
+            loss_fn = single_nerf_loss
         self.step_fn, self.tx = make_train_step(
             nerf_config, train_config, self.static, mesh=mesh,
             mlp_apply=mlp_apply, loss_fn=loss_fn,
@@ -95,7 +105,8 @@ class Trainer:
                 mlp_apply=mlp_apply, loss_fn=loss_fn,
             )
         self.eval_fn = (
-            make_eval_step(nerf_config, train_config, mesh=mesh, mlp_apply=mlp_apply)
+            make_eval_step(nerf_config, train_config, mesh=mesh,
+                           mlp_apply=mlp_apply, render_fn=render_fn)
             if mode == "full"
             else self._make_single_eval()
         )
@@ -254,6 +265,7 @@ class Trainer:
             render_chunk = views.make_fine_render_chunk(
                 params, self.nerf_config,
                 compute_dtype=cfg.compute_dtype, mlp_apply=self.mlp_apply,
+                render_fn=self.render_fn,
             )
         else:
             def render_chunk(o_c, d_c, k):

@@ -70,12 +70,18 @@ def view_reconstruction(
 
 
 def make_fine_render_chunk(
-    params, config: NeRFConfig, compute_dtype=None, mlp_apply=None
+    params, config: NeRFConfig, compute_dtype=None, mlp_apply=None,
+    render_fn=None,
 ) -> Callable:
-    """The standard ``render_chunk``: full hierarchical render, fine color out."""
+    """The standard ``render_chunk``: full hierarchical render, fine color out.
+
+    ``render_fn`` overrides the render implementation (e.g. the fully-fused
+    Pallas path); default is ``models.nerf.render_rays``.
+    """
+    render = render_fn if render_fn is not None else render_rays
 
     def render_chunk(o, d, key):
-        out = render_rays(
+        out = render(
             params, config, o, d, key, compute_dtype=compute_dtype, mlp_apply=mlp_apply
         )
         return out["fine_rgb_rays"]

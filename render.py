@@ -19,14 +19,18 @@ def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
     epoch_idx = ckpt.find("epoch=")
     epoch = ckpt[epoch_idx: epoch_idx + ckpt[epoch_idx:].find("-")]
     params, nerf_cfg, train_cfg = load_model_for_inference(ckpt)
-    mlp_apply = None
+    mlp_apply, render_fn = None, None
     if kernel == "pallas":
         from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
 
         mlp_apply = make_pallas_mlp_apply()
+    elif kernel == "fused":
+        from minimal_nerf_tpu.kernels.fused_raymarch import make_fused_render_fn
+
+        render_fn = make_fused_render_fn()
     render_chunk = views.make_fine_render_chunk(
         params, nerf_cfg, compute_dtype=train_cfg.compute_dtype,
-        mlp_apply=mlp_apply,
+        mlp_apply=mlp_apply, render_fn=render_fn,
     )
     save_dir.mkdir(parents=True, exist_ok=True)
     return views.generate_360_view_synthesis(
@@ -47,7 +51,7 @@ if __name__ == "__main__":
                         help="where to save the resulting gif")
     parser.add_argument("--height", type=int, default=800)
     parser.add_argument("--width", type=int, default=800)
-    parser.add_argument("--kernel", choices=["xla", "pallas"], default="xla")
+    parser.add_argument("--kernel", choices=["xla", "pallas", "fused"], default="xla")
     args = parser.parse_args()
 
     render(args.ckpt, args.save_dir, args.rays, args.num_poses,

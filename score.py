@@ -28,14 +28,18 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
 
     params, nerf_cfg, train_cfg = load_model_for_inference(ckpt)
     scene = SyntheticScene.load(base_dir, "test")
-    mlp_apply = None
+    mlp_apply, render_fn = None, None
     if kernel == "pallas":
         from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
 
         mlp_apply = make_pallas_mlp_apply()
+    elif kernel == "fused":
+        from minimal_nerf_tpu.kernels.fused_raymarch import make_fused_render_fn
+
+        render_fn = make_fused_render_fn()
     render_chunk = views.make_fine_render_chunk(
         params, nerf_cfg, compute_dtype=train_cfg.compute_dtype,
-        mlp_apply=mlp_apply,
+        mlp_apply=mlp_apply, render_fn=render_fn,
     )
 
     n = scene.num_frames if not limit else min(limit, scene.num_frames)
@@ -77,7 +81,7 @@ if __name__ == "__main__":
                         help="dataset directory")
     parser.add_argument("--limit", type=int, default=0,
                         help="score only the first N test views (0 = all)")
-    parser.add_argument("--kernel", choices=["xla", "pallas"], default="xla")
+    parser.add_argument("--kernel", choices=["xla", "pallas", "fused"], default="xla")
     args = parser.parse_args()
 
     calculate_scores(args.ckpt, args.base_dir, args.rays, limit=args.limit,

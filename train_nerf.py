@@ -44,9 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data-parallel", type=int, default=0,
                         help="shard the ray batch over this many devices "
                              "(0 = single device)")
-    parser.add_argument("--kernel", choices=["xla", "pallas"], default="xla",
-                        help="MLP evaluation path: plain XLA or the fused "
-                             "Pallas ray-march kernel (TPU only)")
+    parser.add_argument("--kernel", choices=["xla", "pallas", "fused"],
+                        default="xla",
+                        help="compute path: plain XLA; 'pallas' = fused MLP "
+                             "kernel; 'fused' = fully-fused ray-march kernel "
+                             "(MLP + compositing, TPU only)")
     parser.add_argument("--steps-per-call", type=int, default=1,
                         help="fuse N train steps per dispatch via lax.scan")
     parser.add_argument("--seed", type=int, default=0)
@@ -100,6 +102,14 @@ def make_mlp_apply(kernel: str):
     return None
 
 
+def make_render_fn(kernel: str):
+    if kernel == "fused":
+        from minimal_nerf_tpu.kernels.fused_raymarch import make_fused_render_fn
+
+        return make_fused_render_fn()
+    return None
+
+
 def train_full_nerf(args) -> None:
     from minimal_nerf_tpu.training.trainer import Trainer
 
@@ -124,6 +134,7 @@ def train_full_nerf(args) -> None:
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
         resume_ckpt=args.ckpt, mesh=make_mesh_or_none(args.data_parallel),
         mlp_apply=make_mlp_apply(args.kernel),
+        render_fn=make_render_fn(args.kernel),
     )
     trainer.fit()
 
