@@ -283,11 +283,17 @@ def make_multi_step(
             return (params, opt_state, metrics), None
 
         steps = start_step + jnp.arange(num_inner)
-        metrics0 = {
-            "train_loss": jnp.float32(0),
-            "train_coarse_loss": jnp.float32(0),
-            "train_fine_loss": jnp.float32(0),
-        } if loss_fn is nerf_loss else {"train_loss": jnp.float32(0)}
+        # unwrap functools.partial to identify the base loss's metric set
+        base_loss = getattr(loss_fn, "func", loss_fn)
+        metrics0 = (
+            {
+                "train_loss": jnp.float32(0),
+                "train_coarse_loss": jnp.float32(0),
+                "train_fine_loss": jnp.float32(0),
+            }
+            if base_loss is nerf_loss
+            else {"train_loss": jnp.float32(0)}
+        )
         (params, opt_state, last_metrics), _ = jax.lax.scan(
             one_step, (params, opt_state, metrics0), steps
         )
