@@ -79,6 +79,28 @@ def _aTb3(a, b, dtype):
     )
 
 
+def _cumsum_tri(x: jnp.ndarray, exclusive: bool = False) -> jnp.ndarray:
+    """Prefix sum along the lane axis of ``[R, S]`` via a triangular matmul.
+
+    Mosaic has no ``cumsum`` lowering; ``x @ tri`` with ``tri[i, j] = i <= j``
+    (or ``i < j`` for exclusive) is one tiny fp32 MXU op.
+    """
+    s = x.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    tri = (rows < cols if exclusive else rows <= cols).astype(x.dtype)
+    return jnp.dot(x, tri, preferred_element_type=jnp.float32)
+
+
+def _suffix_sum_tri(x: jnp.ndarray) -> jnp.ndarray:
+    """``out[:, i] = sum_{j > i} x[:, j]`` via the strict upper-tri transpose."""
+    s = x.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    tri = (rows > cols).astype(x.dtype)
+    return jnp.dot(x, tri, preferred_element_type=jnp.float32)
+
+
 def _fused_forward_core(o, d, ts, ws, bs, position_dim, direction_dim, dtype):
     """Shared forward chain used by both kernels. Returns intermediates."""
     (t0w, t1w, t2w, t3w, f0wh, f0we, f1w, f2w, dw, r0wh, r0wd, r1w) = ws
@@ -113,8 +135,8 @@ def _fused_forward_core(o, d, ts, ws, bs, position_dim, direction_dim, dtype):
         [ts[:, 1:] - ts[:, :-1], jnp.full((r_rays, 1), 1e10, ts.dtype)], axis=1
     )
     ndd = -sigma * deltas
-    shifted = jnp.concatenate([jnp.zeros((r_rays, 1), ndd.dtype), ndd[:, :-1]], axis=1)
-    transmittance = jnp.exp(jnp.cumsum(shifted, axis=1))
+    # exclusive prefix sum (the reference's shifted-cumsum, nerf_helpers.py:87-89)
+    transmittance = jnp.exp(_cumsum_tri(ndd, exclusive=True))
     ealpha = jnp.exp(ndd)
     weights = (1.0 - ealpha) * transmittance  # [R, S]
     color = jnp.sum(weights[..., None] * rgb, axis=1)  # [R, 3]
@@ -166,9 +188,7 @@ def _fused_bwd_kernel(
     g_w = jnp.sum(dcolor[:, None, :] * f["rgb"], axis=-1) + dweights_ref[:]
     # dL/dsigma_i = delta_i * (T_i e_i g_i - sum_{j>i} w_j g_j)
     wg = f["weights"] * g_w
-    # suffix sum over j > i: total - inclusive prefix
-    prefix_incl = jnp.cumsum(wg, axis=1)
-    suffix = jnp.sum(wg, axis=1, keepdims=True) - prefix_incl
+    suffix = _suffix_sum_tri(wg)  # sum over j > i
     g_sigma = f["deltas"] * (f["transmittance"] * f["ealpha"] * g_w - suffix)
 
     # ---- MLP backward (mirrors raymarch._nerf_mlp_bwd_kernel, 3-D layout) ----
