@@ -118,16 +118,21 @@ def _fused_forward_core(o, d, ts, ws, bs, position_dim, direction_dim, dtype):
     ed1 = _encode_in_kernel(dn, direction_dim, dtype)  # [R, enc_d]
     ed = jnp.broadcast_to(ed1[:, None, :], (r_rays, s, ed1.shape[-1]))
 
-    a0 = jax.nn.relu(_mm3(e, t0w, dtype) + t0b[:])
-    a1 = jax.nn.relu(_mm3(a0, t1w, dtype) + t1b[:])
-    a2 = jax.nn.relu(_mm3(a1, t2w, dtype) + t2b[:])
-    a3 = jax.nn.relu(_mm3(a2, t3w, dtype) + t3b[:])
-    a4 = jax.nn.relu(_mm3(a3, f0wh, dtype) + _mm3(e, f0we, dtype) + f0b[:])
-    a5 = jax.nn.relu(_mm3(a4, f1w, dtype) + f1b[:])
-    h = _mm3(a5, f2w, dtype) + f2b[:]
-    sg = jax.nn.relu(_mm3(h, dw, dtype) + db[:])  # [R, S, 1]
-    r0 = jax.nn.relu(_mm3(h, r0wh, dtype) + _mm3(ed, r0wd, dtype) + r0b[:])
-    rgb = jax.nn.sigmoid(_mm3(r0, r1w, dtype) + r1b[:])  # [R, S, 3]
+    # activations stored in the compute dtype (halves VMEM under bf16; the
+    # matmuls cast to it anyway, so this only moves the rounding point)
+    act = lambda v: jax.nn.relu(v).astype(dtype)
+    e = e.astype(dtype)
+    ed = ed.astype(dtype)
+    a0 = act(_mm3(e, t0w, dtype) + t0b[:])
+    a1 = act(_mm3(a0, t1w, dtype) + t1b[:])
+    a2 = act(_mm3(a1, t2w, dtype) + t2b[:])
+    a3 = act(_mm3(a2, t3w, dtype) + t3b[:])
+    a4 = act(_mm3(a3, f0wh, dtype) + _mm3(e, f0we, dtype) + f0b[:])
+    a5 = act(_mm3(a4, f1w, dtype) + f1b[:])
+    h = (_mm3(a5, f2w, dtype) + f2b[:]).astype(dtype)
+    sg = jax.nn.relu(_mm3(h, dw, dtype) + db[:])  # [R, S, 1] fp32
+    r0 = act(_mm3(h, r0wh, dtype) + _mm3(ed, r0wd, dtype) + r0b[:])
+    rgb = jax.nn.sigmoid(_mm3(r0, r1w, dtype) + r1b[:])  # [R, S, 3] fp32
 
     # compositing (reference nerf_helpers.py:58-104)
     sigma = sg[..., 0]  # [R, S]
@@ -192,19 +197,21 @@ def _fused_bwd_kernel(
     g_sigma = f["deltas"] * (f["transmittance"] * f["ealpha"] * g_w - suffix)
 
     # ---- MLP backward (mirrors raymarch._nerf_mlp_bwd_kernel, 3-D layout) ----
-    g_rgbpre = g_rgb * f["rgb"] * (1.0 - f["rgb"])
-    g_r0 = _mm3T(g_rgbpre, r1w, dtype) * (f["r0"] > 0)
-    g_sigpre = g_sigma[..., None] * (f["sg"] > 0)
-    g_h = _mm3T(g_r0, r0wh, dtype) + _mm3T(g_sigpre, dw, dtype)
-    g_a5 = _mm3T(g_h, f2w, dtype) * (f["a5"] > 0)
-    g_a4 = _mm3T(g_a5, f1w, dtype) * (f["a4"] > 0)
-    g_a3 = _mm3T(g_a4, f0wh, dtype) * (f["a3"] > 0)
-    g_a2 = _mm3T(g_a3, t3w, dtype) * (f["a2"] > 0)
-    g_a1 = _mm3T(g_a2, t2w, dtype) * (f["a1"] > 0)
-    g_a0 = _mm3T(g_a1, t1w, dtype) * (f["a0"] > 0)
+    # gradient activations stored in compute dtype too (VMEM budget)
+    gact = lambda v, mask: (v * mask).astype(dtype)
+    g_rgbpre = (g_rgb * f["rgb"] * (1.0 - f["rgb"])).astype(dtype)
+    g_r0 = gact(_mm3T(g_rgbpre, r1w, dtype), f["r0"] > 0)
+    g_sigpre = (g_sigma[..., None] * (f["sg"] > 0)).astype(dtype)
+    g_h = (_mm3T(g_r0, r0wh, dtype) + _mm3T(g_sigpre, dw, dtype)).astype(dtype)
+    g_a5 = gact(_mm3T(g_h, f2w, dtype), f["a5"] > 0)
+    g_a4 = gact(_mm3T(g_a5, f1w, dtype), f["a4"] > 0)
+    g_a3 = gact(_mm3T(g_a4, f0wh, dtype), f["a3"] > 0)
+    g_a2 = gact(_mm3T(g_a3, t3w, dtype), f["a2"] > 0)
+    g_a1 = gact(_mm3T(g_a2, t2w, dtype), f["a1"] > 0)
+    g_a0 = gact(_mm3T(g_a1, t1w, dtype), f["a0"] > 0)
 
     def bsum(g):
-        return jnp.sum(g, axis=(0, 1))[None, :]
+        return jnp.sum(g.astype(jnp.float32), axis=(0, 1))[None, :]
 
     updates = [
         (g_t0w, _aTb3(f["e"], g_a0, dtype)), (g_t0b, bsum(g_a0)),
@@ -294,6 +301,7 @@ def _fused_backward(
 ):
     ws, bs = ws_and_bs
     n, s = ts.shape
+    assert n % ray_tile == 0
     grid = (n // ray_tile,)
     dtype = compute_dtype or jnp.float32
 
@@ -322,10 +330,11 @@ def _fused_backward(
     return list(grads[:12]), list(grads[12:])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
 def _fused_core(
     params, o, d, ts,
-    position_dim, direction_dim, compute_dtype, ray_tile, interpret,
+    position_dim, direction_dim, compute_dtype, ray_tile, bwd_ray_tile,
+    interpret,
 ):
     ws_and_bs = flatten_mlp_params(params, compute_dtype)
     return _fused_forward(
@@ -335,20 +344,20 @@ def _fused_core(
 
 
 def _fused_core_fwd(params, o, d, ts, position_dim, direction_dim,
-                    compute_dtype, ray_tile, interpret):
+                    compute_dtype, ray_tile, bwd_ray_tile, interpret):
     out = _fused_core(params, o, d, ts, position_dim, direction_dim,
-                      compute_dtype, ray_tile, interpret)
+                      compute_dtype, ray_tile, bwd_ray_tile, interpret)
     return out, (params, o, d, ts)
 
 
 def _fused_core_bwd(position_dim, direction_dim, compute_dtype, ray_tile,
-                    interpret, residuals, g):
+                    bwd_ray_tile, interpret, residuals, g):
     params, o, d, ts = residuals
     dcolor, dweights = g
     ws_and_bs = flatten_mlp_params(params, compute_dtype)
     gws, gbs = _fused_backward(
         ws_and_bs, o, d, ts, dcolor, dweights,
-        position_dim, direction_dim, compute_dtype, ray_tile, interpret,
+        position_dim, direction_dim, compute_dtype, bwd_ray_tile, interpret,
     )
     gparams = _unflatten_mlp_grads(gws, gbs, params)
     return (
@@ -371,6 +380,7 @@ def fused_render_pass(
     direction_dim: int = 4,
     compute_dtype=None,
     ray_tile: int = DEFAULT_RAY_TILE,
+    bwd_ray_tile: int = 0,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One fused render pass: MLP + compositing for given sample times.
@@ -379,10 +389,17 @@ def fused_render_pass(
         params: one MLP pytree (``init_nerf_mlp``).
         o_rays/d_rays: ``[N, 3]``.
         ts: ``[N, S, 1]`` or ``[N, S]`` sorted sample times.
+        ray_tile: forward rays per grid step.
+        bwd_ray_tile: backward rays per grid step (the backward holds ~3x the
+            live activations — defaults to ``ray_tile // 4`` capped at 4 when
+            0). Must divide ``ray_tile``.
 
     Returns:
         ``color [N, 3]``, ``weights [N, S, 1]`` (differentiable in params).
     """
+    if bwd_ray_tile <= 0:
+        bwd_ray_tile = max(1, min(4, ray_tile))
+    assert ray_tile % bwd_ray_tile == 0, (ray_tile, bwd_ray_tile)
     ts2 = ts[..., 0] if ts.ndim == 3 else ts
     n, s = ts2.shape
     o_p = _pad_rays(o_rays, ray_tile)
@@ -392,7 +409,8 @@ def fused_render_pass(
     ts_p = _pad_rays(ts2, ray_tile, fill=1.0)
     color, weights = _fused_core(
         params, o_p, d_p, ts_p,
-        position_dim, direction_dim, compute_dtype, ray_tile, interpret,
+        position_dim, direction_dim, compute_dtype, ray_tile, bwd_ray_tile,
+        interpret,
     )
     return color[:n], weights[:n][..., None]
 
@@ -406,6 +424,7 @@ def render_rays_fused(
     compute_dtype=None,
     mlp_apply=None,  # accepted for interface parity; the fused path ignores it
     ray_tile: int = DEFAULT_RAY_TILE,
+    bwd_ray_tile: int = 0,
     interpret: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Hierarchical render with both passes through the fused kernel.
@@ -425,7 +444,8 @@ def render_rays_fused(
     coarse_color, coarse_weights = fused_render_pass(
         params["coarse"], o_rays, d_rays, coarse_ts,
         config.position_dim, config.direction_dim,
-        compute_dtype=compute_dtype, ray_tile=ray_tile, interpret=interpret,
+        compute_dtype=compute_dtype, ray_tile=ray_tile,
+        bwd_ray_tile=bwd_ray_tile, interpret=interpret,
     )
 
     sg = jax.lax.stop_gradient
@@ -449,19 +469,22 @@ def render_rays_fused(
     fine_color, _ = fused_render_pass(
         params["fine"], o_rays, d_rays, sg(all_ts),
         config.position_dim, config.direction_dim,
-        compute_dtype=compute_dtype, ray_tile=ray_tile, interpret=interpret,
+        compute_dtype=compute_dtype, ray_tile=ray_tile,
+        bwd_ray_tile=bwd_ray_tile, interpret=interpret,
     )
     return {"fine_rgb_rays": fine_color, "coarse_rgb_rays": coarse_color}
 
 
-def make_fused_render_fn(ray_tile: int = DEFAULT_RAY_TILE, interpret: bool = False):
+def make_fused_render_fn(ray_tile: int = DEFAULT_RAY_TILE,
+                         bwd_ray_tile: int = 0, interpret: bool = False):
     """A ``render_fn`` hook (signature of ``models.nerf.render_rays``)."""
 
     def render_fn(params, config, o_rays, d_rays, key, compute_dtype=None,
                   mlp_apply=None):
         return render_rays_fused(
             params, config, o_rays, d_rays, key,
-            compute_dtype=compute_dtype, ray_tile=ray_tile, interpret=interpret,
+            compute_dtype=compute_dtype, ray_tile=ray_tile,
+            bwd_ray_tile=bwd_ray_tile, interpret=interpret,
         )
 
     return render_fn
