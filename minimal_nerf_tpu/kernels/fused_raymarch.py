@@ -398,7 +398,9 @@ def fused_render_pass(
         ``color [N, 3]``, ``weights [N, S, 1]`` (differentiable in params).
     """
     if bwd_ray_tile <= 0:
-        bwd_ray_tile = max(1, min(4, ray_tile))
+        # Mosaic requires block sublane counts divisible by 8; the backward
+        # holds ~3x the forward's live activations, so keep its tile minimal
+        bwd_ray_tile = min(8, ray_tile)
     assert ray_tile % bwd_ray_tile == 0, (ray_tile, bwd_ray_tile)
     ts2 = ts[..., 0] if ts.ndim == 3 else ts
     n, s = ts2.shape
