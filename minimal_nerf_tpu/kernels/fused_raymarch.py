@@ -197,18 +197,20 @@ def _fused_bwd_kernel(
     g_sigma = f["deltas"] * (f["transmittance"] * f["ealpha"] * g_w - suffix)
 
     # ---- MLP backward (mirrors raymarch._nerf_mlp_bwd_kernel, 3-D layout) ----
-    # gradient activations stored in compute dtype too (VMEM budget)
+    # gradient activations stored in compute dtype too (VMEM budget);
+    # ReLU masks compare in fp32 (Mosaic has no bf16 vector compare)
+    pos = lambda v: v.astype(jnp.float32) > 0
     gact = lambda v, mask: (v * mask).astype(dtype)
     g_rgbpre = (g_rgb * f["rgb"] * (1.0 - f["rgb"])).astype(dtype)
-    g_r0 = gact(_mm3T(g_rgbpre, r1w, dtype), f["r0"] > 0)
+    g_r0 = gact(_mm3T(g_rgbpre, r1w, dtype), pos(f["r0"]))
     g_sigpre = (g_sigma[..., None] * (f["sg"] > 0)).astype(dtype)
     g_h = (_mm3T(g_r0, r0wh, dtype) + _mm3T(g_sigpre, dw, dtype)).astype(dtype)
-    g_a5 = gact(_mm3T(g_h, f2w, dtype), f["a5"] > 0)
-    g_a4 = gact(_mm3T(g_a5, f1w, dtype), f["a4"] > 0)
-    g_a3 = gact(_mm3T(g_a4, f0wh, dtype), f["a3"] > 0)
-    g_a2 = gact(_mm3T(g_a3, t3w, dtype), f["a2"] > 0)
-    g_a1 = gact(_mm3T(g_a2, t2w, dtype), f["a1"] > 0)
-    g_a0 = gact(_mm3T(g_a1, t1w, dtype), f["a0"] > 0)
+    g_a5 = gact(_mm3T(g_h, f2w, dtype), pos(f["a5"]))
+    g_a4 = gact(_mm3T(g_a5, f1w, dtype), pos(f["a4"]))
+    g_a3 = gact(_mm3T(g_a4, f0wh, dtype), pos(f["a3"]))
+    g_a2 = gact(_mm3T(g_a3, t3w, dtype), pos(f["a2"]))
+    g_a1 = gact(_mm3T(g_a2, t2w, dtype), pos(f["a1"]))
+    g_a0 = gact(_mm3T(g_a1, t1w, dtype), pos(f["a0"]))
 
     def bsum(g):
         return jnp.sum(g.astype(jnp.float32), axis=(0, 1))[None, :]
