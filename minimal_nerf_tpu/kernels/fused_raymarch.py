@@ -197,38 +197,46 @@ def _fused_bwd_kernel(
     g_sigma = f["deltas"] * (f["transmittance"] * f["ealpha"] * g_w - suffix)
 
     # ---- MLP backward (mirrors raymarch._nerf_mlp_bwd_kernel, 3-D layout) ----
-    # gradient activations stored in compute dtype too (VMEM budget);
-    # ReLU masks compare in fp32 (Mosaic has no bf16 vector compare)
+    # gradient activations stored in compute dtype (VMEM budget); ReLU masks
+    # compare in fp32 (Mosaic has no bf16 vector compare). Weight-gradient
+    # contributions are computed INTERLEAVED with the reverse sweep so each
+    # gradient activation dies as soon as its two consumers have run —
+    # holding all of them simultaneously blows the 16MB scoped-VMEM budget.
     pos = lambda v: v.astype(jnp.float32) > 0
     gact = lambda v, mask: (v * mask).astype(dtype)
-    g_rgbpre = (g_rgb * f["rgb"] * (1.0 - f["rgb"])).astype(dtype)
-    g_r0 = gact(_mm3T(g_rgbpre, r1w, dtype), pos(f["r0"]))
-    g_sigpre = (g_sigma[..., None] * (f["sg"] > 0)).astype(dtype)
-    g_h = (_mm3T(g_r0, r0wh, dtype) + _mm3T(g_sigpre, dw, dtype)).astype(dtype)
-    g_a5 = gact(_mm3T(g_h, f2w, dtype), pos(f["a5"]))
-    g_a4 = gact(_mm3T(g_a5, f1w, dtype), pos(f["a4"]))
-    g_a3 = gact(_mm3T(g_a4, f0wh, dtype), pos(f["a3"]))
-    g_a2 = gact(_mm3T(g_a3, t3w, dtype), pos(f["a2"]))
-    g_a1 = gact(_mm3T(g_a2, t2w, dtype), pos(f["a1"]))
-    g_a0 = gact(_mm3T(g_a1, t1w, dtype), pos(f["a0"]))
 
     def bsum(g):
         return jnp.sum(g.astype(jnp.float32), axis=(0, 1))[None, :]
 
-    updates = [
-        (g_t0w, _aTb3(f["e"], g_a0, dtype)), (g_t0b, bsum(g_a0)),
-        (g_t1w, _aTb3(f["a0"], g_a1, dtype)), (g_t1b, bsum(g_a1)),
-        (g_t2w, _aTb3(f["a1"], g_a2, dtype)), (g_t2b, bsum(g_a2)),
-        (g_t3w, _aTb3(f["a2"], g_a3, dtype)), (g_t3b, bsum(g_a3)),
-        (g_f0wh, _aTb3(f["a3"], g_a4, dtype)), (g_f0we, _aTb3(f["e"], g_a4, dtype)),
-        (g_f0b, bsum(g_a4)),
-        (g_f1w, _aTb3(f["a4"], g_a5, dtype)), (g_f1b, bsum(g_a5)),
-        (g_f2w, _aTb3(f["a5"], g_h, dtype)), (g_f2b, bsum(g_h)),
-        (g_dw, _aTb3(f["h"], g_sigpre, dtype)), (g_db, bsum(g_sigpre)),
-        (g_r0wh, _aTb3(f["h"], g_r0, dtype)), (g_r0wd, _aTb3(f["ed"], g_r0, dtype)),
+    updates = []
+    g_rgbpre = (g_rgb * f["rgb"] * (1.0 - f["rgb"])).astype(dtype)
+    updates += [(g_r1w, _aTb3(f["r0"], g_rgbpre, dtype)), (g_r1b, bsum(g_rgbpre))]
+    g_r0 = gact(_mm3T(g_rgbpre, r1w, dtype), pos(f["r0"]))
+    updates += [
+        (g_r0wh, _aTb3(f["h"], g_r0, dtype)),
+        (g_r0wd, _aTb3(f["ed"], g_r0, dtype)),
         (g_r0b, bsum(g_r0)),
-        (g_r1w, _aTb3(f["r0"], g_rgbpre, dtype)), (g_r1b, bsum(g_rgbpre)),
     ]
+    g_sigpre = (g_sigma[..., None] * (f["sg"] > 0)).astype(dtype)
+    updates += [(g_dw, _aTb3(f["h"], g_sigpre, dtype)), (g_db, bsum(g_sigpre))]
+    g_h = (_mm3T(g_r0, r0wh, dtype) + _mm3T(g_sigpre, dw, dtype)).astype(dtype)
+    updates += [(g_f2w, _aTb3(f["a5"], g_h, dtype)), (g_f2b, bsum(g_h))]
+    g_a5 = gact(_mm3T(g_h, f2w, dtype), pos(f["a5"]))
+    updates += [(g_f1w, _aTb3(f["a4"], g_a5, dtype)), (g_f1b, bsum(g_a5))]
+    g_a4 = gact(_mm3T(g_a5, f1w, dtype), pos(f["a4"]))
+    updates += [
+        (g_f0wh, _aTb3(f["a3"], g_a4, dtype)),
+        (g_f0we, _aTb3(f["e"], g_a4, dtype)),
+        (g_f0b, bsum(g_a4)),
+    ]
+    g_a3 = gact(_mm3T(g_a4, f0wh, dtype), pos(f["a3"]))
+    updates += [(g_t3w, _aTb3(f["a2"], g_a3, dtype)), (g_t3b, bsum(g_a3))]
+    g_a2 = gact(_mm3T(g_a3, t3w, dtype), pos(f["a2"]))
+    updates += [(g_t2w, _aTb3(f["a1"], g_a2, dtype)), (g_t2b, bsum(g_a2))]
+    g_a1 = gact(_mm3T(g_a2, t2w, dtype), pos(f["a1"]))
+    updates += [(g_t1w, _aTb3(f["a0"], g_a1, dtype)), (g_t1b, bsum(g_a1))]
+    g_a0 = gact(_mm3T(g_a1, t1w, dtype), pos(f["a0"]))
+    updates += [(g_t0w, _aTb3(f["e"], g_a0, dtype)), (g_t0b, bsum(g_a0))]
 
     is_first = pl.program_id(0) == 0
 
