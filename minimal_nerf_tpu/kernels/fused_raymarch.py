@@ -335,6 +335,11 @@ def _fused_backward(
         + [const_spec(b) for b in bs],
         out_specs=[const_spec(g) for g in grad_shapes],
         out_shape=grad_shapes,
+        compiler_params=pltpu.CompilerParams(
+            # the peak stack allocation sits ~0.4% over Mosaic's default
+            # 16MB scoped budget; raise the cap to the chip's usable VMEM
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(o, d, ts, dcolor, dweights, *ws, *bs)
     return list(grads[:12]), list(grads[12:])
