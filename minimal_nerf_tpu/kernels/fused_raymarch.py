@@ -295,6 +295,9 @@ def _fused_forward(
             jax.ShapeDtypeStruct((n, 3), jnp.float32),
             jax.ShapeDtypeStruct((n, s), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(o, d, ts, *ws, *bs)
     return color, weights
