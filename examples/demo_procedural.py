@@ -26,7 +26,7 @@ def main() -> None:
     parser.add_argument("--coarse", type=int, default=32)
     parser.add_argument("--fine", type=int, default=32)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
-    parser.add_argument("--kernel", default="xla", choices=["xla", "pallas"])
+    parser.add_argument("--kernel", default="xla", choices=["xla", "pallas", "fused"])
     args = parser.parse_args()
 
     out = Path(args.out)
