@@ -24,6 +24,32 @@ from minimal_nerf_tpu.utils import imageio as mio
 DEFAULT_CAM_ANGLE_X = 0.6911112070083618
 
 
+# jitted full-view sweep cache: keyed by the render_chunk closure object
+# (held in the dict, so its id stays valid) + static shapes. Re-tracing the
+# lax.map per frame costs seconds of host/compile-cache round-trips per view;
+# with the cache, frame i of a render/score run is ONE device dispatch.
+_VIEW_SWEEP_CACHE: dict = {}
+
+
+def _view_sweep(render_chunk: Callable, num_chunks: int, chunk: int):
+    cache_key = (render_chunk, num_chunks, chunk)
+    fn = _VIEW_SWEEP_CACHE.get(cache_key)
+    if fn is None:
+
+        @jax.jit
+        def fn(o, d, key):
+            idx = jnp.arange(num_chunks)
+
+            def body(args):
+                o_c, d_c, i = args
+                return render_chunk(o_c, d_c, jax.random.fold_in(key, i))
+
+            return jax.lax.map(body, (o, d, idx))
+
+        _VIEW_SWEEP_CACHE[cache_key] = fn
+    return fn
+
+
 def view_reconstruction(
     render_chunk: Callable[[jnp.ndarray, jnp.ndarray, jax.Array], jnp.ndarray],
     all_o_rays: jnp.ndarray,
@@ -36,7 +62,8 @@ def view_reconstruction(
     Args:
         render_chunk: ``(o [C,3], d [C,3], key) -> rgb [C,3]`` (e.g. the fine
             pass of ``render_rays``); called under ``lax.map`` so it is traced
-            once regardless of image size.
+            once regardless of image size, and the whole sweep is jitted and
+            cached per (render_chunk, shape) so repeat views are one dispatch.
         all_o_rays/all_d_rays: ``[H, W, 3]`` full-view rays.
         chunk: rays per chunk (static).
         key: PRNG key (sampling jitter); folded per chunk.
@@ -57,13 +84,8 @@ def view_reconstruction(
     d = jnp.concatenate(
         [all_d_rays.reshape(n, c), jnp.ones((pad, c), all_d_rays.dtype)]
     ).reshape(num_chunks, chunk, c)
-    idx = jnp.arange(num_chunks)
 
-    def body(args):
-        o_c, d_c, i = args
-        return render_chunk(o_c, d_c, jax.random.fold_in(key, i))
-
-    rgb = jax.lax.map(body, (o, d, idx))  # [num_chunks, chunk, 3]
+    rgb = _view_sweep(render_chunk, num_chunks, chunk)(o, d, key)
     im = np.asarray(rgb.reshape(num_chunks * chunk, 3)[:n].reshape(h, w, 3))
     im = np.clip(im * 255.0, 0, 255)
     return im.astype(np.uint8)
