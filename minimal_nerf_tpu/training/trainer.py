@@ -113,6 +113,7 @@ class Trainer:
         self.base_key = jax.random.key(
             train_config.seed, impl=train_config.rng_impl
         )
+        self._val_render_chunk = None
 
     def _make_single_eval(self):
         cfg = self.train_config
@@ -261,21 +262,26 @@ class Trainer:
             )
         )
         o, d = self.val_scene.frame_rays(im_idx)
-        if self.mode == "full":
-            render_chunk = views.make_fine_render_chunk(
-                params, self.nerf_config,
-                compute_dtype=cfg.compute_dtype, mlp_apply=self.mlp_apply,
-                render_fn=self.render_fn,
-            )
-        else:
-            def render_chunk(o_c, d_c, k):
-                out = render_single(
-                    params, self.nerf_config, o_c, d_c, k,
-                    compute_dtype=cfg.compute_dtype, mlp_apply=self.mlp_apply,
+        # params flow through the cached jitted sweep as an argument, so
+        # validation renders compile once per run, not once per validation
+        if self._val_render_chunk is None:
+            if self.mode == "full":
+                self._val_render_chunk = views.make_param_render_chunk(
+                    self.nerf_config, compute_dtype=cfg.compute_dtype,
+                    mlp_apply=self.mlp_apply, render_fn=self.render_fn,
                 )
-                return out["pred_rgbs"]
-        im = views.view_reconstruction(
-            render_chunk, o, d, chunk=cfg.num_rays,
+            else:
+                def render_chunk_p(p, o_c, d_c, k):
+                    out = render_single(
+                        p, self.nerf_config, o_c, d_c, k,
+                        compute_dtype=cfg.compute_dtype,
+                        mlp_apply=self.mlp_apply,
+                    )
+                    return out["pred_rgbs"]
+
+                self._val_render_chunk = render_chunk_p
+        im = views.view_reconstruction_with_params(
+            self._val_render_chunk, params, o, d, chunk=cfg.num_rays,
             key=jax.random.fold_in(self.base_key, 30_000_000 + step),
         )
         self.logger.log_image(f"recon-val{im_idx}", im, step=step)

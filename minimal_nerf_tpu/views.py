@@ -91,6 +91,71 @@ def view_reconstruction(
     return im.astype(np.uint8)
 
 
+def make_param_render_chunk(
+    config: NeRFConfig, compute_dtype=None, mlp_apply=None, render_fn=None
+) -> Callable:
+    """A render_chunk taking ``params`` as an argument.
+
+    Use with ``view_reconstruction_with_params`` when params change between
+    views (e.g. trainer validation) — the jitted sweep compiles once and
+    params flow through as a pytree argument instead of being baked into a
+    fresh closure (which would recompile every call).
+    """
+    render = render_fn if render_fn is not None else render_rays
+
+    def render_chunk_p(params, o, d, key):
+        out = render(
+            params, config, o, d, key, compute_dtype=compute_dtype,
+            mlp_apply=mlp_apply,
+        )
+        return out["fine_rgb_rays"]
+
+    return render_chunk_p
+
+
+def view_reconstruction_with_params(
+    render_chunk_p: Callable,
+    params,
+    all_o_rays: jnp.ndarray,
+    all_d_rays: jnp.ndarray,
+    chunk: int = 4096,
+    key: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """``view_reconstruction`` with params threaded as a jit argument."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    h, w, c = all_o_rays.shape
+    n = h * w
+    num_chunks = -(-n // chunk)
+    pad = num_chunks * chunk - n
+    o = jnp.concatenate(
+        [all_o_rays.reshape(n, c), jnp.zeros((pad, c), all_o_rays.dtype)]
+    ).reshape(num_chunks, chunk, c)
+    d = jnp.concatenate(
+        [all_d_rays.reshape(n, c), jnp.ones((pad, c), all_d_rays.dtype)]
+    ).reshape(num_chunks, chunk, c)
+
+    cache_key = (render_chunk_p, num_chunks, chunk)
+    fn = _VIEW_SWEEP_CACHE.get(cache_key)
+    if fn is None:
+
+        @jax.jit
+        def fn(params, o, d, key):
+            idx = jnp.arange(num_chunks)
+
+            def body(args):
+                o_c, d_c, i = args
+                return render_chunk_p(params, o_c, d_c, jax.random.fold_in(key, i))
+
+            return jax.lax.map(body, (o, d, idx))
+
+        _VIEW_SWEEP_CACHE[cache_key] = fn
+
+    rgb = fn(params, o, d, key)
+    im = np.asarray(rgb.reshape(num_chunks * chunk, 3)[:n].reshape(h, w, 3))
+    return np.clip(im * 255.0, 0, 255).astype(np.uint8)
+
+
 def make_fine_render_chunk(
     params, config: NeRFConfig, compute_dtype=None, mlp_apply=None,
     render_fn=None,
