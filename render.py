@@ -20,6 +20,10 @@ def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
     epoch = ckpt[epoch_idx: epoch_idx + ckpt[epoch_idx:].find("-")]
     params, nerf_cfg, train_cfg = load_model_for_inference(ckpt)
     mlp_apply, render_fn = None, None
+    if kernel == "auto":
+        import jax
+
+        kernel = "fused" if jax.default_backend() == "tpu" else "xla"
     if kernel == "pallas":
         from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
 
@@ -51,7 +55,8 @@ if __name__ == "__main__":
                         help="where to save the resulting gif")
     parser.add_argument("--height", type=int, default=800)
     parser.add_argument("--width", type=int, default=800)
-    parser.add_argument("--kernel", choices=["xla", "pallas", "fused"], default="xla")
+    parser.add_argument("--kernel", choices=["auto", "xla", "pallas", "fused"],
+                        default="auto")
     args = parser.parse_args()
 
     render(args.ckpt, args.save_dir, args.rays, args.num_poses,

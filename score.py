@@ -29,6 +29,10 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
     params, nerf_cfg, train_cfg = load_model_for_inference(ckpt)
     scene = SyntheticScene.load(base_dir, "test")
     mlp_apply, render_fn = None, None
+    if kernel == "auto":
+        import jax
+
+        kernel = "fused" if jax.default_backend() == "tpu" else "xla"
     if kernel == "pallas":
         from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
 
@@ -81,7 +85,8 @@ if __name__ == "__main__":
                         help="dataset directory")
     parser.add_argument("--limit", type=int, default=0,
                         help="score only the first N test views (0 = all)")
-    parser.add_argument("--kernel", choices=["xla", "pallas", "fused"], default="xla")
+    parser.add_argument("--kernel", choices=["auto", "xla", "pallas", "fused"],
+                        default="auto")
     args = parser.parse_args()
 
     calculate_scores(args.ckpt, args.base_dir, args.rays, limit=args.limit,

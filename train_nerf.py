@@ -44,11 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data-parallel", type=int, default=0,
                         help="shard the ray batch over this many devices "
                              "(0 = single device)")
-    parser.add_argument("--kernel", choices=["xla", "pallas", "fused"],
-                        default="xla",
+    parser.add_argument("--kernel", choices=["auto", "xla", "pallas", "fused"],
+                        default="auto",
                         help="compute path: plain XLA; 'pallas' = fused MLP "
                              "kernel; 'fused' = fully-fused ray-march kernel "
-                             "(MLP + compositing, TPU only)")
+                             "(MLP + compositing, TPU only); 'auto' = fused "
+                             "on TPU, xla elsewhere")
     parser.add_argument("--steps-per-call", type=int, default=1,
                         help="fuse N train steps per dispatch via lax.scan")
     parser.add_argument("--seed", type=int, default=0)
@@ -94,6 +95,14 @@ def make_mesh_or_none(n: int):
     return None
 
 
+def resolve_kernel(kernel: str) -> str:
+    if kernel == "auto":
+        import jax
+
+        return "fused" if jax.default_backend() == "tpu" else "xla"
+    return kernel
+
+
 def make_mlp_apply(kernel: str):
     if kernel == "pallas":
         from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
@@ -133,8 +142,8 @@ def train_full_nerf(args) -> None:
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
         resume_ckpt=args.ckpt, mesh=make_mesh_or_none(args.data_parallel),
-        mlp_apply=make_mlp_apply(args.kernel),
-        render_fn=make_render_fn(args.kernel),
+        mlp_apply=make_mlp_apply(resolve_kernel(args.kernel)),
+        render_fn=make_render_fn(resolve_kernel(args.kernel)),
     )
     trainer.fit()
 
@@ -158,7 +167,7 @@ def train_single_nerf(args) -> None:
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
         resume_ckpt=args.ckpt, mesh=make_mesh_or_none(args.data_parallel),
-        mlp_apply=make_mlp_apply(args.kernel), mode="single",
+        mlp_apply=make_mlp_apply(resolve_kernel(args.kernel)), mode="single",
     )
     trainer.fit()
 
