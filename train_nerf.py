@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "on TPU, xla elsewhere")
     parser.add_argument("--steps-per-call", type=int, default=1,
                         help="fuse N train steps per dispatch via lax.scan")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax_debug_nans (fail fast on non-finite "
+                             "values; disables some optimizations)")
     parser.add_argument("--seed", type=int, default=0)
 
     simple_parser = subparsers.add_parser("simple")
@@ -184,6 +187,10 @@ def train_simple_image(args) -> None:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if getattr(args, "debug_nans", False):
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
     if args.type == "full":
         train_full_nerf(args)
     elif args.type == "single":
