@@ -306,12 +306,21 @@ def load_model_for_inference(ckpt_path):
 
     The equivalent of the reference's ``NeRFNetwork.load_from_checkpoint``
     (``render.py:17``, ``score.py:21``) — hyperparams come from the embedded
-    header, weights from the saved leaves.
+    header, weights from the saved leaves. Handles both the full hierarchical
+    network and coarse-only ``mode="single"`` checkpoints (whose params are a
+    single MLP pytree).
     """
     header, leaves = ckpt_lib.load_checkpoint(ckpt_path)
     nerf_cfg = NeRFConfig.from_dict(header["nerf_config"])
     train_cfg = TrainConfig.from_dict(header["train_config"])
-    params_template = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    mode = (header.get("extra") or {}).get("mode", "full")
+    init_key = jax.random.PRNGKey(0)
+    if mode == "single":
+        params_template = init_nerf_mlp(
+            init_key, nerf_cfg.position_dim, nerf_cfg.direction_dim
+        )
+    else:
+        params_template = init_nerf_network(init_key, nerf_cfg)
     # rebuild an opt_state template purely for structural restore
     from minimal_nerf_tpu.training.loop import make_optimizer
 

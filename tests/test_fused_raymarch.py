@@ -135,3 +135,24 @@ def test_render_rays_fused_grad():
         denom = np.abs(np.asarray(a)).max() + 1e-12
         err = np.abs(np.asarray(a) - np.asarray(b)).max() / denom
         assert err < 1e-2, f"{jax.tree_util.keystr(ka)}: {err}"
+
+
+def test_fused_pass_nondefault_encoding_dims():
+    # custom -p/-d flags must flow through the in-kernel encoding
+    params = init_nerf_mlp(jax.random.PRNGKey(7), position_dim=6, direction_dim=2)
+    o, d, ts = _ts_for(jax.random.PRNGKey(8), 8, 24)
+    samples = o[:, None, :] + ts * d[:, None, :]
+    ref_sigma, ref_rgb = nerf_mlp_apply(
+        params, samples, d, position_dim=6, direction_dim=2
+    )
+    from minimal_nerf_tpu.ops import rendering as _r
+
+    deltas = _r.generate_deltas(ts)
+    ref_w = _r.calculate_unnormalized_weights(ref_sigma, deltas)
+    ref_color = _r.estimate_ray_color(ref_w, ref_rgb)
+    color, weights = fused_render_pass(
+        params, o, d, ts, position_dim=6, direction_dim=2,
+        ray_tile=4, interpret=True,
+    )
+    np.testing.assert_allclose(color, ref_color, rtol=3e-5, atol=1e-6)
+    np.testing.assert_allclose(weights, ref_w, rtol=3e-5, atol=1e-6)

@@ -201,3 +201,18 @@ def test_trainer_steps_per_call_matches_single(fixture_scene, tmp_path):
     p2 = t2.fit()
     for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+
+def test_load_single_mode_checkpoint(fixture_scene, tmp_path):
+    # mode="single" checkpoints restore as a single MLP pytree
+    nerf_cfg = NeRFConfig(coarse_samples=8)
+    train_cfg = TrainConfig(
+        num_rays=32, max_steps=2, cropping_epochs=0, log_every=100,
+        check_val_every_n_epoch=1000, ckpt_every_steps=100, precision="fp32",
+    )
+    t = Trainer(nerf_cfg, train_cfg, fixture_scene, tmp_path, name="sload",
+                mode="single")
+    t.fit()
+    ckpt = next((tmp_path / "sload" / "checkpoints").glob("*.ckpt"))
+    params, cfg2, _ = load_model_for_inference(ckpt)
+    assert "trunk" in params  # single MLP pytree, not {"coarse","fine"}
