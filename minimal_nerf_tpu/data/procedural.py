@@ -69,6 +69,26 @@ class SphereField:
         return sigma, jnp.clip(rgb, 0.0, 1.0)
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("num_samples", "near", "far"))
+def _render_chunk_analytic(
+    centers, radii, colors, densities, o_c, d_c, k, num_samples, near, far
+):
+    """Module-level jitted chunk renderer: one compile serves ALL frames
+    (a per-frame closure would re-trace/compile per view — minutes each
+    through this environment's remote-compile queue)."""
+    field = SphereField(centers, radii, colors, densities)
+    samples, ts = rendering.generate_coarse_samples(
+        k, o_c, d_c, num_samples, near, far
+    )
+    sigma, rgb = field.field(samples)
+    deltas = rendering.generate_deltas(ts)
+    weights = rendering.calculate_unnormalized_weights(sigma, deltas)
+    return rendering.estimate_ray_color(weights, rgb)
+
+
 def render_analytic_view(
     field: SphereField,
     pose: np.ndarray,
@@ -78,7 +98,7 @@ def render_analytic_view(
     num_samples: int = 256,
     near: float = 2.0,
     far: float = 6.0,
-    chunk: int = 8192,
+    chunk: int = 65536,
 ) -> np.ndarray:
     """Ground-truth render of one view via dense stratified integration.
 
@@ -89,23 +109,28 @@ def render_analytic_view(
     o = o.reshape(-1, 3)
     d = d.reshape(-1, 3)
     n = o.shape[0]
+    # pad to a chunk multiple so every dispatch reuses one compiled shape
+    pad = (-n) % chunk
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
     key = jax.random.PRNGKey(0)
-
-    @jax.jit
-    def render_chunk(o_c, d_c, k):
-        samples, ts = rendering.generate_coarse_samples(
-            k, o_c, d_c, num_samples, near, far
-        )
-        sigma, rgb = field.field(samples)
-        deltas = rendering.generate_deltas(ts)
-        weights = rendering.calculate_unnormalized_weights(sigma, deltas)
-        return rendering.estimate_ray_color(weights, rgb)
-
+    args = (
+        jnp.asarray(field.centers), jnp.asarray(field.radii),
+        jnp.asarray(field.colors), jnp.asarray(field.densities),
+    )
     out = []
-    for i in range(0, n, chunk):
-        o_c, d_c = o[i : i + chunk], d[i : i + chunk]
-        out.append(np.asarray(render_chunk(o_c, d_c, jax.random.fold_in(key, i))))
-    im = np.concatenate(out).reshape(height, width, 3)
+    for i in range(0, n + pad, chunk):
+        out.append(
+            np.asarray(
+                _render_chunk_analytic(
+                    *args, o[i : i + chunk], d[i : i + chunk],
+                    jax.random.fold_in(key, i),
+                    num_samples=num_samples, near=near, far=far,
+                )
+            )
+        )
+    im = np.concatenate(out)[:n].reshape(height, width, 3)
     return (np.clip(im, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
