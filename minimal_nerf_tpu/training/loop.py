@@ -164,6 +164,40 @@ def sample_train_batch(
     return {"origin": origin, "direc": direc, "rgb": rgb}
 
 
+def make_sharded_grad_fn(
+    loss_fn: Callable, nerf_cfg: NeRFConfig, mesh, compute_dtype, mlp_apply
+) -> Callable:
+    """Data-parallel loss+grad via ``shard_map`` over the ``data`` axis.
+
+    Each device runs the WHOLE render (including any Pallas kernels — XLA's
+    SPMD partitioner cannot partition custom calls, so sharding must happen
+    outside them) on its ray shard; loss/metrics/grads are ``pmean``-reduced
+    over ICI. The per-shard render key is decorrelated with
+    ``fold_in(key, axis_index)`` so sampling jitter is independent per shard.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def per_shard(params, origin, direc, rgb, key):
+        shard_key = jax.random.fold_in(key, jax.lax.axis_index(pmesh.DATA_AXIS))
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, nerf_cfg, origin, direc, rgb, shard_key,
+            compute_dtype, mlp_apply,
+        )
+        grads = jax.lax.pmean(grads, pmesh.DATA_AXIS)
+        loss = jax.lax.pmean(loss, pmesh.DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, pmesh.DATA_AXIS)
+        return (loss, metrics), grads
+
+    return jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(pmesh.DATA_AXIS), P(pmesh.DATA_AXIS),
+                  P(pmesh.DATA_AXIS), P()),
+        out_specs=((P(), P()), P()),
+        check_vma=False,
+    )
+
+
 def make_train_step(
     nerf_cfg: NeRFConfig,
     train_cfg: TrainConfig,
@@ -186,6 +220,11 @@ def make_train_step(
     steps_per_epoch = train_cfg.steps_per_epoch or static.num_frames
     tx = make_optimizer(train_cfg, steps_per_epoch)
     compute_dtype = train_cfg.compute_dtype
+    sharded_grad = (
+        make_sharded_grad_fn(loss_fn, nerf_cfg, mesh, compute_dtype, mlp_apply)
+        if mesh is not None
+        else None
+    )
 
     def step_fn(params, opt_state, images, poses, step, base_key):
         key = jax.random.fold_in(base_key, step)
@@ -196,11 +235,16 @@ def make_train_step(
         )
         if mesh is not None:
             batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
-
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, nerf_cfg, batch["origin"], batch["direc"], batch["rgb"],
-            k_render, compute_dtype, mlp_apply,
-        )
+            (loss, metrics), grads = sharded_grad(
+                params, batch["origin"], batch["direc"], batch["rgb"], k_render
+            )
+        else:
+            # fold_in(0) mirrors the sharded path's per-shard key derivation,
+            # so a 1-device mesh is bitwise-identical to no mesh
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, nerf_cfg, batch["origin"], batch["direc"], batch["rgb"],
+                jax.random.fold_in(k_render, 0), compute_dtype, mlp_apply,
+            )
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
         metrics = dict(metrics, lr=make_lr_schedule(train_cfg, steps_per_epoch)(step))
@@ -260,6 +304,11 @@ def make_multi_step(
     tx = make_optimizer(train_cfg, steps_per_epoch)
     compute_dtype = train_cfg.compute_dtype
     lr_sched = make_lr_schedule(train_cfg, steps_per_epoch)
+    sharded_grad = (
+        make_sharded_grad_fn(loss_fn, nerf_cfg, mesh, compute_dtype, mlp_apply)
+        if mesh is not None
+        else None
+    )
 
     def multi_fn(params, opt_state, images, poses, start_step, base_key):
         def one_step(carry, step):
@@ -272,10 +321,16 @@ def make_multi_step(
             )
             if mesh is not None:
                 batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
-            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, nerf_cfg, batch["origin"], batch["direc"], batch["rgb"],
-                k_render, compute_dtype, mlp_apply,
-            )
+                (_, metrics), grads = sharded_grad(
+                    params, batch["origin"], batch["direc"], batch["rgb"],
+                    k_render,
+                )
+            else:
+                (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, nerf_cfg,
+                    batch["origin"], batch["direc"], batch["rgb"],
+                    jax.random.fold_in(k_render, 0), compute_dtype, mlp_apply,
+                )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             # metrics ride the carry (overwritten each step) instead of a

@@ -74,7 +74,9 @@ def test_data_parallel_train_step(mesh8, fixture_scene):
     assert all(np.isfinite(l) for l in losses)
 
 
-def test_data_parallel_matches_single_device_step(mesh8, fixture_scene):
+def test_data_parallel_mesh1_matches_single_device(fixture_scene):
+    # a 1-device mesh runs the shard_map path with axis_index 0 — must be
+    # bitwise-equivalent to the unsharded step (which folds in 0 to match)
     scene = SyntheticScene.load(fixture_scene, "train")
     nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
     train_cfg = TrainConfig(num_rays=64, cropping_epochs=0, precision="fp32")
@@ -82,24 +84,78 @@ def test_data_parallel_matches_single_device_step(mesh8, fixture_scene):
     arrays = scene.device_arrays()
     base_key = jax.random.PRNGKey(7)
 
-    # single device
     step_1, tx1 = make_train_step(nerf_cfg, train_cfg, static)
     p1 = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
     s1 = tx1.init(p1)
     p1, s1, m1 = step_1(p1, s1, arrays["images"], arrays["poses"], 0, base_key)
 
-    # 8-way mesh, same seeds
+    mesh1 = make_mesh(1)
+    step_m, txm = make_train_step(nerf_cfg, train_cfg, static, mesh=mesh1)
+    pm = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    sm = txm.init(pm)
+    pm, sm, mm = step_m(pm, sm, arrays["images"], arrays["poses"], 0, base_key)
+
+    assert np.isclose(float(m1["train_loss"]), float(mm["train_loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(pm)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
+
+
+def test_data_parallel_8way_descends(mesh8, fixture_scene):
+    # 8 shards draw independent per-shard sampling jitter, so results are not
+    # bitwise-comparable to single-device; check training behavior instead
+    scene = SyntheticScene.load(fixture_scene, "train")
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(
+        num_rays=64, cropping_epochs=0, precision="fp32",
+        start_lr=2e-3, end_lr=2e-4,
+    )
+    static = scene_static(scene)
+    arrays = {
+        k: jax.device_put(v, replicated_sharding(mesh8))
+        for k, v in scene.device_arrays().items()
+    }
     step_8, tx8 = make_train_step(nerf_cfg, train_cfg, static, mesh=mesh8)
-    p8 = jax.device_put(
+    p = jax.device_put(
         init_nerf_network(jax.random.PRNGKey(0), nerf_cfg),
         replicated_sharding(mesh8),
     )
-    s8 = jax.device_put(tx8.init(p8), replicated_sharding(mesh8))
-    arrays8 = {
-        k: jax.device_put(v, replicated_sharding(mesh8)) for k, v in arrays.items()
-    }
-    p8, s8, m8 = step_8(p8, s8, arrays8["images"], arrays8["poses"], 0, base_key)
+    s = jax.device_put(tx8.init(p), replicated_sharding(mesh8))
+    losses = []
+    for step in range(60):
+        p, s, m = step_8(p, s, arrays["images"], arrays["poses"], step,
+                         jax.random.PRNGKey(7))
+        losses.append(float(m["train_loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
 
-    assert np.isclose(float(m1["train_loss"]), float(m8["train_loss"]), rtol=1e-4)
-    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p8)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+def test_data_parallel_with_fused_kernel(mesh8, fixture_scene):
+    # Pallas kernels can't be SPMD-partitioned by XLA; the shard_map path
+    # must run one kernel per device shard (interpret mode on CPU)
+    import functools
+
+    from minimal_nerf_tpu.kernels.fused_raymarch import make_fused_render_fn
+    from minimal_nerf_tpu.training.loop import nerf_loss, scene_static as _ss
+
+    scene = SyntheticScene.load(fixture_scene, "train")
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(num_rays=64, cropping_epochs=0, precision="fp32")
+    loss_fn = functools.partial(
+        nerf_loss,
+        render_fn=make_fused_render_fn(ray_tile=8, interpret=True),
+    )
+    step_fn, tx = make_train_step(
+        nerf_cfg, train_cfg, _ss(scene), mesh=mesh8, loss_fn=loss_fn
+    )
+    arrays = {
+        k: jax.device_put(v, replicated_sharding(mesh8))
+        for k, v in scene.device_arrays().items()
+    }
+    p = jax.device_put(
+        init_nerf_network(jax.random.PRNGKey(0), nerf_cfg),
+        replicated_sharding(mesh8),
+    )
+    s = jax.device_put(tx.init(p), replicated_sharding(mesh8))
+    p, s, m = step_fn(p, s, arrays["images"], arrays["poses"], 0,
+                      jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["train_loss"]))
