@@ -159,3 +159,20 @@ def test_data_parallel_with_fused_kernel(mesh8, fixture_scene):
     p, s, m = step_fn(p, s, arrays["images"], arrays["poses"], 0,
                       jax.random.PRNGKey(0))
     assert np.isfinite(float(m["train_loss"]))
+
+
+def test_trainer_with_mesh_end_to_end(mesh8, fixture_scene, tmp_path):
+    from minimal_nerf_tpu.training import Trainer
+
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(
+        num_rays=64, max_steps=6, cropping_epochs=0, log_every=3,
+        check_val_every_n_epoch=2, ckpt_every_steps=100, precision="fp32",
+    )
+    trainer = Trainer(
+        nerf_cfg, train_cfg, fixture_scene, tmp_path, name="mesh-e2e",
+        mesh=mesh8,
+    )
+    params = trainer.fit()
+    assert params is not None
+    assert list((tmp_path / "mesh-e2e" / "checkpoints").glob("*.ckpt"))
