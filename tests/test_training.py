@@ -216,3 +216,28 @@ def test_load_single_mode_checkpoint(fixture_scene, tmp_path):
     ckpt = next((tmp_path / "sload" / "checkpoints").glob("*.ckpt"))
     params, cfg2, _ = load_model_for_inference(ckpt)
     assert "trunk" in params  # single MLP pytree, not {"coarse","fine"}
+
+
+def test_resume_reproduces_uninterrupted_run(fixture_scene, tmp_path):
+    # deterministic fold_in(key, step) RNG: save at step 4, resume, and land
+    # bitwise-identical to an uninterrupted 8-step run
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    mk = lambda steps, name: TrainConfig(
+        num_rays=32, max_steps=steps, cropping_epochs=0, log_every=1000,
+        check_val_every_n_epoch=10000, ckpt_every_steps=4, precision="fp32",
+    )
+    t_full = Trainer(nerf_cfg, mk(8, "f"), fixture_scene, tmp_path, name="unint")
+    p_full = t_full.fit()
+
+    t_a = Trainer(nerf_cfg, mk(4, "a"), fixture_scene, tmp_path, name="resumed")
+    t_a.fit()
+    t_b = Trainer(
+        nerf_cfg, mk(8, "b"), fixture_scene, tmp_path, name="resumed",
+        resume_ckpt="auto",
+    )
+    p_resumed = t_b.fit()
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(p_full), jax.tree_util.tree_leaves(p_resumed)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
