@@ -158,14 +158,15 @@ class SyntheticScene:
     def device_arrays(self) -> Dict[str, jnp.ndarray]:
         """Upload the split to the default device.
 
-        Images are packed channel-major (``[3, F*H*W]`` uint8): per-pixel
-        gathers then hit three 1-D row gathers in the layout XLA wants.
-        (With the natural ``[F, H, W, 3]`` layout XLA re-materializes a
-        channel-major copy of the whole array inside every train step —
-        profiled at ~25ms of a 70ms step.)
+        Images are word-packed by ``pack_images``: one ``r|g<<8|b<<16``
+        uint32 word per pixel, shaped ``[ceil(F*H*W/512), 512]`` so per-pixel
+        fetches become a row gather + in-row ``take_along_axis`` — the layout
+        XLA gathers natively. (With the natural ``[F, H, W, 3]`` uint8 layout
+        XLA re-materializes a strided copy of the whole array inside every
+        train step — profiled at ~25ms of a 70ms step.)
         """
         return {
-            "images": pack_images(self.images),  # uint8 [3, F*H*W]
+            "images": pack_images(self.images),  # uint32 [ceil(F*H*W/512), 512]
             "poses": jnp.asarray(self.poses),  # fp32 [F, 4, 4]
         }
 

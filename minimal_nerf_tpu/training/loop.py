@@ -121,6 +121,11 @@ def single_nerf_loss(
     return loss, {"train_loss": loss}
 
 
+# Stream tag separating the per-epoch shuffle's key stream from the per-step
+# sampling stream (both are folded from the same base key).
+_PERM_STREAM_TAG = 0x5EED
+
+
 def sample_train_batch(
     key: jax.Array,
     step: jnp.ndarray,
@@ -130,22 +135,30 @@ def sample_train_batch(
     num_rays: int,
     steps_per_epoch: int,
     cropping_epochs: int,
+    base_key: jax.Array,
 ) -> Dict[str, jnp.ndarray]:
     """In-jit batch sampling: pick a frame, sample pixels, generate rays.
 
     Frame order follows the reference's shuffled per-epoch pass (DataLoader
     ``shuffle=True`` over F frames): a per-epoch permutation indexed by
-    ``step % steps_per_epoch``. The crop->full switch is the traced condition
-    ``epoch < cropping_epochs`` (reference ``dataloader.py:93-99``).
+    ``step % steps_per_epoch``. The permutation key derives from ``base_key``
+    (step-independent) folded with the epoch, so every step of an epoch sees
+    the SAME permutation and visits each frame exactly once per F steps —
+    ``key`` (per-step) only drives pixel sampling. The crop->full switch is
+    the traced condition ``epoch < cropping_epochs`` (reference
+    ``dataloader.py:93-99``).
     """
-    k_perm, k_pix = jax.random.split(key)
+    k_pix = key
     epoch = step // steps_per_epoch
     # uniform per-epoch permutation via argsort of uniforms — equivalent to
     # jax.random.permutation but lowers to one fast sort op instead of the
     # serial swap loop (profiled at ~14ms/step on TPU)
     perm = jnp.argsort(
         jax.random.uniform(
-            jax.random.fold_in(k_perm, epoch), (static.num_frames,)
+            jax.random.fold_in(
+                jax.random.fold_in(base_key, _PERM_STREAM_TAG), epoch
+            ),
+            (static.num_frames,),
         )
     )
     frame_idx = perm[step % steps_per_epoch % static.num_frames]
@@ -157,8 +170,9 @@ def sample_train_batch(
     origin, direc = cameras.rays_for_pixels(
         xs, ys, static.height, static.width, static.focal, c2w
     )
-    # images arrive channel-major packed ([3, F*H*W] uint8, see
-    # data.synthetic.pack_images) so this is three layout-native 1-D gathers
+    # images arrive word-packed ([ceil(F*H*W/512), 512] uint32, one
+    # r|g<<8|b<<16 word per pixel — see data.synthetic.pack_images) so this
+    # is one layout-native row gather + in-row take_along_axis
     idx = (frame_idx * static.height + ys) * static.width + xs
     rgb = gather_pixels(images, idx)
     return {"origin": origin, "direc": direc, "rgb": rgb}
@@ -232,6 +246,7 @@ def make_train_step(
         batch = sample_train_batch(
             k_batch, step, images, poses, static,
             train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
+            base_key,
         )
         if mesh is not None:
             batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
@@ -318,6 +333,7 @@ def make_multi_step(
             batch = sample_train_batch(
                 k_batch, step, images, poses, static,
                 train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
+                base_key,
             )
             if mesh is not None:
                 batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}

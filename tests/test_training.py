@@ -241,3 +241,46 @@ def test_resume_reproduces_uninterrupted_run(fixture_scene, tmp_path):
         jax.tree_util.tree_leaves(p_full), jax.tree_util.tree_leaves(p_resumed)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_epoch_shuffle_visits_each_frame_exactly_once():
+    """One epoch = one shuffled exactly-once pass over the train frames.
+
+    Regression for the round-1 advisor finding: the permutation key was
+    derived from the per-step key, so frame selection degenerated to iid
+    sampling with replacement. The permutation must be stable within an
+    epoch (reference DataLoader shuffle=True semantics, dataloader.py:95).
+    """
+    from minimal_nerf_tpu.data.synthetic import pack_images
+    from minimal_nerf_tpu.training.loop import sample_train_batch
+
+    f, h, w = 5, 8, 8
+    # frame i is a constant image of value i*40 so sampled rgb identifies it
+    images_np = np.stack(
+        [np.full((h, w, 3), i * 40, np.uint8) for i in range(f)]
+    )
+    images = pack_images(images_np)
+    poses = jnp.tile(jnp.eye(4), (f, 1, 1))
+    static = SceneStatic(height=h, width=w, focal=10.0, num_frames=f)
+    base_key = jax.random.PRNGKey(3)
+
+    def frame_at_step(step):
+        key = jax.random.fold_in(base_key, step)
+        k_batch, _ = jax.random.split(key)
+        batch = sample_train_batch(
+            k_batch, jnp.int32(step), images, poses, static,
+            num_rays=4, steps_per_epoch=f, cropping_epochs=0,
+            base_key=base_key,
+        )
+        vals = np.asarray(batch["rgb"]) * 255.0 / 40.0
+        frames = np.rint(vals).astype(int)
+        assert (frames == frames.flat[0]).all()  # one frame per step
+        return int(frames.flat[0])
+
+    epoch0 = [frame_at_step(s) for s in range(f)]
+    epoch1 = [frame_at_step(s) for s in range(f, 2 * f)]
+    assert sorted(epoch0) == list(range(f)), epoch0
+    assert sorted(epoch1) == list(range(f)), epoch1
+    # different epochs reshuffle (5! = 120 orders; equality is a red flag
+    # for a key-derivation bug, not bad luck)
+    assert epoch0 != epoch1, (epoch0, epoch1)
