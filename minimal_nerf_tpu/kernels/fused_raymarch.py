@@ -499,8 +499,11 @@ def make_fused_render_fn(ray_tile: int = DEFAULT_RAY_TILE,
                          bwd_ray_tile: int = 0, interpret: bool = False):
     """A ``render_fn`` hook (signature of ``models.nerf.render_rays``)."""
 
+    # return_stats is accepted for render_fn-hook compatibility but ignored:
+    # densities never leave the fused kernel's VMEM, so the density
+    # diagnostics are only available on the XLA path.
     def render_fn(params, config, o_rays, d_rays, key, compute_dtype=None,
-                  mlp_apply=None):
+                  mlp_apply=None, return_stats=False):
         return render_rays_fused(
             params, config, o_rays, d_rays, key,
             compute_dtype=compute_dtype, ray_tile=ray_tile,

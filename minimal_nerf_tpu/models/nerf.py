@@ -68,6 +68,7 @@ def render_rays(
     key: jax.Array,
     compute_dtype=None,
     mlp_apply=None,
+    return_stats: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Hierarchical volume render of a ray batch (reference ``nerf_model.py:89-132``).
 
@@ -80,9 +81,16 @@ def render_rays(
         compute_dtype: optional matmul dtype (bf16 for the TPU fast path).
         mlp_apply: override for the MLP evaluation (e.g. the fused Pallas
             kernel); signature of ``models.mlp.nerf_mlp_apply``.
+        return_stats: also return the reference's per-forward density
+            diagnostics (``nerf_model.py:105-106,124-125``) as
+            ``{coarse,fine}_density_sumsq`` (sum of squares — callers take
+            ``sqrt`` AFTER any cross-shard reduction so the norm matches the
+            reference's whole-batch ``torch.linalg.norm``) and
+            ``{coarse,fine}_density_non_zeros`` counts.
 
     Returns:
-        dict with ``fine_rgb_rays [N, 3]`` and ``coarse_rgb_rays [N, 3]``.
+        dict with ``fine_rgb_rays [N, 3]`` and ``coarse_rgb_rays [N, 3]``
+        (plus the four scalar stats when ``return_stats``).
     """
     apply_fn = mlp_apply if mlp_apply is not None else nerf_mlp_apply
     k_coarse, k_cdf = jax.random.split(key)
@@ -152,7 +160,13 @@ def render_rays(
     fine_weights = rendering.calculate_unnormalized_weights(fine_density, fine_deltas)
     fine_rgb_ray = rendering.estimate_ray_color(fine_weights, fine_rgb)
 
-    return {"fine_rgb_rays": fine_rgb_ray, "coarse_rgb_rays": coarse_rgb_ray}
+    out = {"fine_rgb_rays": fine_rgb_ray, "coarse_rgb_rays": coarse_rgb_ray}
+    if return_stats:
+        for name, density in (("coarse", coarse_density), ("fine", fine_density)):
+            d32 = jax.lax.stop_gradient(density).astype(jnp.float32)
+            out[f"{name}_density_sumsq"] = jnp.sum(d32 * d32)
+            out[f"{name}_density_non_zeros"] = jnp.sum(d32 != 0).astype(jnp.float32)
+    return out
 
 
 def render_single(

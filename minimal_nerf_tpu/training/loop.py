@@ -70,6 +70,37 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int) -> optax.GradientTran
     return optax.adam(learning_rate=make_lr_schedule(cfg, steps_per_epoch))
 
 
+_DENSITY_STAT_KEYS = (
+    "coarse_density_sumsq",
+    "coarse_density_non_zeros",
+    "fine_density_sumsq",
+    "fine_density_non_zeros",
+)
+
+
+def finalize_metrics(metrics: Dict[str, jnp.ndarray], grads, num_shards: int):
+    """Turn raw per-step aux into the reference's logged metric names.
+
+    - density sum-of-squares -> ``{coarse,fine}_density_norms``: ``sqrt`` is
+      taken here, AFTER the cross-shard ``pmean``, and the mean is undone
+      (``* num_shards``) so the value equals the reference's whole-batch
+      ``torch.linalg.norm`` (``nerf_model.py:105,124``) regardless of mesh
+      size; non-zero counts are likewise rescaled to whole-batch totals.
+    - ``grad_2.0_norm_total``: global L2 norm of the (pmean-reduced) grads,
+      the quantity PL's ``track_grad_norm=2`` logs (``train_nerf.py:28``).
+    """
+    m = dict(metrics)
+    for name in ("coarse", "fine"):
+        k = f"{name}_density_sumsq"
+        if k in m:
+            m[f"{name}_density_norms"] = jnp.sqrt(m.pop(k) * num_shards)
+            m[f"{name}_density_non_zeros"] = (
+                m[f"{name}_density_non_zeros"] * num_shards
+            )
+    m["grad_2.0_norm_total"] = optax.global_norm(grads)
+    return m
+
+
 def nerf_loss(
     params: Params,
     nerf_cfg: NeRFConfig,
@@ -89,16 +120,22 @@ def nerf_loss(
     render = render_fn if render_fn is not None else render_rays
     out = render(
         params, nerf_cfg, o_rays, d_rays, key,
-        compute_dtype=compute_dtype, mlp_apply=mlp_apply,
+        compute_dtype=compute_dtype, mlp_apply=mlp_apply, return_stats=True,
     )
     coarse_loss = jnp.mean((out["coarse_rgb_rays"] - rgb) ** 2)
     fine_loss = jnp.mean((out["fine_rgb_rays"] - rgb) ** 2)
     loss = coarse_loss + fine_loss
-    return loss, {
+    metrics = {
         "train_loss": loss,
         "train_coarse_loss": coarse_loss,
         "train_fine_loss": fine_loss,
     }
+    # reference density diagnostics (nerf_model.py:105-106,124-125); absent
+    # on render paths that never materialize densities (the fused kernel)
+    for k in _DENSITY_STAT_KEYS:
+        if k in out:
+            metrics[k] = out[k]
+    return loss, metrics
 
 
 def single_nerf_loss(
@@ -262,6 +299,9 @@ def make_train_step(
             )
         updates, new_opt_state = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
+        metrics = finalize_metrics(
+            metrics, grads, mesh.size if mesh is not None else 1
+        )
         metrics = dict(metrics, lr=make_lr_schedule(train_cfg, steps_per_epoch)(step))
         return new_params, new_opt_state, metrics
 
@@ -327,7 +367,7 @@ def make_multi_step(
 
     def multi_fn(params, opt_state, images, poses, start_step, base_key):
         def one_step(carry, step):
-            params, opt_state, _ = carry
+            params, opt_state = carry
             key = jax.random.fold_in(base_key, step)
             k_batch, k_render = jax.random.split(key)
             batch = sample_train_batch(
@@ -349,25 +389,19 @@ def make_multi_step(
                 )
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            # metrics ride the carry (overwritten each step) instead of a
-            # stacked scan output — avoids per-step dynamic-update-slices
-            return (params, opt_state, metrics), None
+            metrics = finalize_metrics(
+                metrics, grads, mesh.size if mesh is not None else 1
+            )
+            # metrics are stacked scan outputs (scalars only — the per-step
+            # dynamic-update-slice cost is a few floats); the caller keeps
+            # the last row
+            return (params, opt_state), metrics
 
         steps = start_step + jnp.arange(num_inner)
-        # unwrap functools.partial to identify the base loss's metric set
-        base_loss = getattr(loss_fn, "func", loss_fn)
-        metrics0 = (
-            {
-                "train_loss": jnp.float32(0),
-                "train_coarse_loss": jnp.float32(0),
-                "train_fine_loss": jnp.float32(0),
-            }
-            if base_loss is nerf_loss
-            else {"train_loss": jnp.float32(0)}
+        (params, opt_state), stacked = jax.lax.scan(
+            one_step, (params, opt_state), steps
         )
-        (params, opt_state, last_metrics), _ = jax.lax.scan(
-            one_step, (params, opt_state, metrics0), steps
-        )
+        last_metrics = {k: v[-1] for k, v in stacked.items()}
         last_metrics = dict(last_metrics, lr=lr_sched(start_step + num_inner - 1))
         return params, opt_state, last_metrics
 

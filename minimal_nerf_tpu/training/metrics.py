@@ -38,6 +38,14 @@ class MetricsLogger:
         self.echo = echo
         self._fieldnames = ["step"]
         self._rows = []
+        if self.csv_path.exists():
+            # resumed run: adopt the existing history so appends extend it
+            # instead of a fresh logger clobbering it at the first rewrite
+            with open(self.csv_path, newline="") as f:
+                reader = csv.DictReader(f)
+                if reader.fieldnames:
+                    self._fieldnames = list(reader.fieldnames)
+                    self._rows = list(reader)
         self._t0 = time.perf_counter()
         self._wandb = None
         if wandb_project:
@@ -52,10 +60,19 @@ class MetricsLogger:
         row = {"step": int(step)}
         for k, v in scalars.items():
             row[k] = float(v)
-            if k not in self._fieldnames:
-                self._fieldnames.append(k)
+        new_keys = [k for k in row if k not in self._fieldnames]
         self._rows.append(row)
-        self._rewrite()
+        if new_keys:
+            # schema widened (e.g. val metrics first appear): rewrite once
+            # with the new header — rare, a handful of times per run
+            self._fieldnames.extend(new_keys)
+            self._rewrite()
+        else:
+            # steady state: O(1) append, so a crash loses at most the row
+            # being written (the old whole-file rewrite was O(n^2) over a
+            # run and lost everything if interrupted mid-rewrite)
+            with open(self.csv_path, "a", newline="") as f:
+                csv.DictWriter(f, fieldnames=self._fieldnames).writerow(row)
         if self._wandb is not None:
             self._wandb.log(dict(scalars), step=int(step))
         if self.echo:
@@ -72,6 +89,15 @@ class MetricsLogger:
         suffix = f"-{step}" if step is not None else ""
         path = self.run_dir / "images" / f"{key}{suffix}.png"
         mio.imwrite(path, image)
+        if self._wandb is not None:
+            # mirror reconstructions to wandb like the reference
+            # (nerf_model.py:203: logger.log_image(key='recon', images=[im]))
+            import wandb
+
+            self._wandb.log(
+                {"recon": [wandb.Image(np.asarray(image), caption=key)]},
+                step=int(step) if step is not None else None,
+            )
         return path
 
     def _rewrite(self) -> None:

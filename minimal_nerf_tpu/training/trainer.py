@@ -216,6 +216,8 @@ class Trainer:
                 it_s = steps_since_log / (now - t_last)
                 fetched["iterations_per_sec"] = it_s
                 fetched["rays_per_sec"] = it_s * cfg.num_rays
+                # reference key (nerf_model.py:167): seconds per train step
+                fetched["train iteration speed"] = 1.0 / it_s
                 self.logger.log_scalars(step, fetched)
                 t_last, steps_since_log = now, 0
 
@@ -289,7 +291,19 @@ class Trainer:
 
     # ----------------------------------------------------------- checkpoints
 
+    def _check_pending_save(self) -> None:
+        """Re-raise a failed background checkpoint save at the next boundary.
+
+        Without this, a failing async save (e.g. disk full) was silently
+        swallowed until the final blocking save of the run.
+        """
+        fut = getattr(self, "_pending_save", None)
+        if fut is not None and fut.done():
+            self._pending_save = None
+            fut.result()  # raises if the background save failed
+
     def save(self, params, opt_state, step: int, blocking: bool = False):
+        self._check_pending_save()
         epoch = step // self.steps_per_epoch
         path = self.ckpt_dir / ckpt_lib.checkpoint_name(self.name, epoch, step)
         fut = ckpt_lib.save_checkpoint_async(
@@ -298,7 +312,11 @@ class Trainer:
             extra={"mode": self.mode},
         )
         self._pending_save = fut
-        return fut.result() if blocking else path
+        if blocking:
+            result = fut.result()
+            self._pending_save = None
+            return result
+        return path
 
 
 def load_model_for_inference(ckpt_path):

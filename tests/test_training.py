@@ -284,3 +284,99 @@ def test_epoch_shuffle_visits_each_frame_exactly_once():
     # different epochs reshuffle (5! = 120 orders; equality is a red flag
     # for a key-derivation bug, not bad luck)
     assert epoch0 != epoch1, (epoch0, epoch1)
+
+
+def test_train_step_metrics_superset_reference_keys():
+    """metrics must superset the reference's wandb scalar set for a train step
+    (nerf_model.py:105-106,124-125,164-166 + track_grad_norm=2)."""
+    from minimal_nerf_tpu.data.synthetic import pack_images
+
+    nerf_cfg = NeRFConfig(coarse_samples=4, fine_samples=4)
+    train_cfg = TrainConfig(num_rays=8, cropping_epochs=0, precision="fp32")
+    static = SceneStatic(height=8, width=8, focal=10.0, num_frames=2)
+    step_fn, tx = make_train_step(nerf_cfg, train_cfg, static)
+    params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    opt_state = tx.init(params)
+    images = pack_images(
+        np.random.default_rng(0).integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    )
+    poses = jnp.tile(jnp.eye(4), (2, 1, 1))
+    _, _, metrics = step_fn(
+        params, opt_state, images, poses, 0, jax.random.PRNGKey(1)
+    )
+    expected = {
+        "train_loss", "train_coarse_loss", "train_fine_loss",
+        "coarse_density_norms", "coarse_density_non_zeros",
+        "fine_density_norms", "fine_density_non_zeros",
+        "grad_2.0_norm_total", "lr",
+    }
+    assert expected <= set(metrics), sorted(metrics)
+    for k in expected:
+        assert np.isfinite(float(metrics[k])), k
+    # non-zero counts are whole-batch totals: bounded by rays x samples
+    assert 0 <= float(metrics["coarse_density_non_zeros"]) <= 8 * 4
+    assert 0 <= float(metrics["fine_density_non_zeros"]) <= 8 * (4 + 4)
+    assert float(metrics["grad_2.0_norm_total"]) > 0
+
+
+def test_metrics_logger_appends_and_widens(tmp_path):
+    from minimal_nerf_tpu.training.metrics import MetricsLogger
+
+    lg = MetricsLogger(tmp_path, name="t", echo=False)
+    lg.log_scalars(1, {"a": 1.0})
+    lg.log_scalars(2, {"a": 2.0})
+    size_before = (tmp_path / "metrics.csv").stat().st_size
+    lg.log_scalars(3, {"a": 3.0})
+    # steady-state logging appends (file strictly grows, no rewrite shrink)
+    assert (tmp_path / "metrics.csv").stat().st_size > size_before
+    lg.log_scalars(4, {"a": 4.0, "b": 9.0})  # schema widens -> rewrite
+    import csv as _csv
+
+    with open(tmp_path / "metrics.csv") as f:
+        rows = list(_csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["1", "2", "3", "4"]
+    assert rows[3]["b"] == "9.0"
+    assert rows[0]["b"] == ""  # old rows backfilled empty
+
+
+def test_async_save_failure_surfaces_on_next_save(tmp_path, monkeypatch):
+    from concurrent.futures import ThreadPoolExecutor
+
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+    from minimal_nerf_tpu.training.trainer import Trainer
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    pool = ThreadPoolExecutor(1)
+    monkeypatch.setattr(
+        ckpt_lib, "save_checkpoint_async", lambda *a, **k: pool.submit(boom)
+    )
+    trainer = Trainer.__new__(Trainer)  # skip dataset loading
+    trainer.steps_per_epoch = 100
+    trainer.ckpt_dir = tmp_path
+    trainer.name = "t"
+    trainer.nerf_config = NeRFConfig(coarse_samples=4, fine_samples=4)
+    trainer.train_config = TrainConfig()
+    trainer.mode = "full"
+    trainer.save(None, None, 100)  # schedules the failing save
+    pool.submit(lambda: None).result()  # ensure the failing task finished
+    import pytest
+
+    with pytest.raises(OSError, match="disk full"):
+        trainer.save(None, None, 200)
+
+
+def test_metrics_logger_resume_preserves_history(tmp_path):
+    from minimal_nerf_tpu.training.metrics import MetricsLogger
+
+    lg = MetricsLogger(tmp_path, name="t", echo=False)
+    lg.log_scalars(10, {"a": 1.0})
+    lg2 = MetricsLogger(tmp_path, name="t", echo=False)  # resumed run
+    lg2.log_scalars(20, {"a": 2.0, "b": 5.0})  # widens schema too
+    import csv as _csv
+
+    with open(tmp_path / "metrics.csv") as f:
+        rows = list(_csv.DictReader(f))
+    assert [r["step"] for r in rows] == ["10", "20"]
+    assert rows[1]["b"] == "5.0"
