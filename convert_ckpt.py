@@ -20,8 +20,11 @@ import numpy as np
 
 
 def _linear_from_torch(state: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
-    w = np.asarray(state[f"{prefix}.weight"], dtype=np.float32)
-    b = np.asarray(state[f"{prefix}.bias"], dtype=np.float32)
+    # np.array (not asarray): torch's .numpy() views SHARE memory with the
+    # live module, so a non-copying conversion aliases weights that a
+    # subsequent optimizer step would silently mutate
+    w = np.array(state[f"{prefix}.weight"], dtype=np.float32)
+    b = np.array(state[f"{prefix}.bias"], dtype=np.float32)
     return {"w": np.ascontiguousarray(w.T), "b": b}
 
 

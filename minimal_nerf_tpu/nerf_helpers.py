@@ -45,6 +45,24 @@ def fix_batchify(batch: Dict) -> None:
         batch[key] = value.squeeze(0) if hasattr(value, "squeeze") else value
 
 
+def torch_to_numpy(tensor, is_normalized_image: bool = False) -> np.ndarray:
+    """Array-to-numpy conversion for plotting (reference ``nerf_helpers.py:240-251``).
+
+    Accepts a torch tensor, jax array, or numpy array; moves a ``...CHW``
+    layout (ndim >= 4) to ``...HWC`` and optionally rescales a normalized
+    image back to [0, 255], exactly like the reference.
+    """
+    if hasattr(tensor, "detach"):  # torch
+        arr = tensor.cpu().clone().detach().numpy()
+    else:  # jax / numpy / anything np.asarray understands
+        arr = np.array(tensor)
+    if arr.ndim >= 4:  # ...CHW -> ...HWC
+        arr = np.moveaxis(arr, [-3, -2, -1], [-1, -3, -2])
+    if is_normalized_image:
+        arr = np.clip(arr * 255, 0, 255)
+    return arr
+
+
 def view_reconstruction(model, all_o_rays, all_d_rays, N: int = 4096) -> np.ndarray:
     """Reference-signature view reconstruction (``nerf_helpers.py:189-210``).
 

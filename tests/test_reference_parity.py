@@ -1,0 +1,384 @@
+"""Head-to-head parity against the ACTUAL reference implementation.
+
+Imports the reference's torch modules from /root/reference (with a minimal
+``pytorch_lightning`` stub — only ``LightningModule``/``LightningDataModule``
+names are needed) and asserts this framework matches them numerically on
+random inputs: encodings, rendering math, inverse-CDF sample distributions,
+MLP forwards under converted weights, the full deterministic render composite,
+camera/NDC math, and a short training run landing at comparable loss.
+
+Unlike ``test_convert_ckpt.py`` (which checks against a hand-built torch
+replica), every expectation here comes from executing the reference's own
+code.
+"""
+
+import sys
+import types
+from pathlib import Path
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+REFERENCE = Path("/root/reference")
+
+pytestmark = pytest.mark.skipif(
+    not (REFERENCE / "nerf_model.py").exists(), reason="reference tree absent"
+)
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from minimal_nerf_tpu.models.mlp import nerf_mlp_apply  # noqa: E402
+from minimal_nerf_tpu.models.nerf import NeRFConfig, render_rays  # noqa: E402
+from minimal_nerf_tpu.ops import cameras, encoding, rendering  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """The reference modules, imported with a pytorch_lightning stub."""
+    import torch.nn as nn
+
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+
+        class LightningModule(nn.Module):
+            # reference forward() calls self.log (nerf_model.py:105); PL's
+            # Trainer is never used here so a no-op suffices
+            def log(self, *a, **k):
+                pass
+
+            def save_hyperparameters(self, *a, **k):
+                pass
+
+        pl.LightningModule = LightningModule
+        pl.LightningDataModule = object
+        sys.modules["pytorch_lightning"] = pl
+
+    sys.path.insert(0, str(REFERENCE))
+    import dataloader as ref_dataloader  # noqa: E402
+    import nerf_helpers as ref_helpers  # noqa: E402
+    import nerf_model as ref_model  # noqa: E402
+
+    return SimpleNamespace(
+        dataloader=ref_dataloader, helpers=ref_helpers, model=ref_model
+    )
+
+
+def _t(x):
+    return torch.as_tensor(np.asarray(x), dtype=torch.float32)
+
+
+# --------------------------------------------------------------- encodings
+
+
+def test_positional_encoding_matches_reference(ref):
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (17, 9, 3)).astype(np.float32)
+    for dim in (4, 10):
+        theirs = ref.model.positional_encoding(_t(x), dim=dim).numpy()
+        ours = np.asarray(encoding.positional_encoding(jnp.asarray(x), dim))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-5)
+
+
+def test_normalize_coordinates_matches_reference(ref):
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-3, 3, (32, 3)).astype(np.float32)
+    theirs = ref.model.normalize_coordinates(_t(x)).numpy()
+    ours = np.asarray(encoding.normalize_coordinates(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-6)
+
+
+# ---------------------------------------------------------- rendering math
+
+
+def test_deltas_weights_color_match_reference(ref):
+    rng = np.random.default_rng(2)
+    n, s = 13, 21
+    ts = np.sort(rng.uniform(2.0, 6.0, (n, s, 1)).astype(np.float32), axis=1)
+    density = rng.uniform(0, 4.0, (n, s, 1)).astype(np.float32)
+    rgb = rng.uniform(0, 1.0, (n, s, 3)).astype(np.float32)
+
+    d_theirs = ref.helpers.generate_deltas(_t(ts)).numpy()
+    d_ours = np.asarray(rendering.generate_deltas(jnp.asarray(ts)))
+    np.testing.assert_allclose(d_ours, d_theirs, rtol=1e-6)
+
+    w_theirs = ref.helpers.calculate_unnormalized_weights(
+        _t(density), _t(d_theirs)
+    ).numpy()
+    w_ours = np.asarray(
+        rendering.calculate_unnormalized_weights(
+            jnp.asarray(density), jnp.asarray(d_ours)
+        )
+    )
+    np.testing.assert_allclose(w_ours, w_theirs, rtol=1e-5, atol=1e-6)
+
+    c_theirs = ref.helpers.estimate_ray_color(_t(w_theirs), _t(rgb)).numpy()
+    c_ours = np.asarray(
+        rendering.estimate_ray_color(jnp.asarray(w_ours), jnp.asarray(rgb))
+    )
+    np.testing.assert_allclose(c_ours, c_theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_coarse_sampling_same_bins_as_reference(ref):
+    """Stratified sampling parity: identical bin structure (RNG streams
+    differ, so compare the deterministic part: each sample must fall in the
+    same per-index bin as the reference's, in UNNORMALIZED-direction units)."""
+    torch.manual_seed(0)
+    n, s = 64, 16
+    o = np.zeros((n, 3), np.float32)
+    d = np.random.default_rng(3).normal(size=(n, 3)).astype(np.float32)
+    near, far = 2.0, 6.0
+    step = (far - near) / s
+
+    _, ts_theirs = ref.helpers.generate_coarse_samples(_t(o), _t(d), s, near, far)
+    _, ts_ours = rendering.generate_coarse_samples(
+        jax.random.PRNGKey(0), jnp.asarray(o), jnp.asarray(d), s, near, far
+    )
+    lo = near + step * np.arange(s)
+    for ts in (ts_theirs.numpy()[..., 0], np.asarray(ts_ours)[..., 0]):
+        assert (ts >= lo[None, :]).all()
+        assert (ts <= lo[None, :] + step + 1e-6).all()
+
+
+def test_inverse_cdf_sampling_distribution_matches_reference(ref):
+    """Same coarse weights -> statistically identical fine-sample histograms.
+
+    Bins the fine ts of both implementations into the coarse-CDF bins
+    (edges [near, ts..., far], reference nerf_helpers.py:147-149) over many
+    rays and compares bin proportions.
+    """
+    torch.manual_seed(0)
+    n, c, s = 4000, 8, 16
+    near, far = 2.0, 6.0
+    w = np.array([0.05, 0.1, 0.3, 0.05, 0.2, 0.1, 0.15, 0.05], np.float32)
+    weights = np.tile(w[None, :, None], (n, 1, 1))
+    # mid-bin coarse ts
+    ts = near + (far - near) * (np.arange(c) + 0.5) / c
+    ts = np.tile(ts.astype(np.float32)[None, :, None], (n, 1, 1))
+    o = np.zeros((n, 3), np.float32)
+    d = np.tile(np.array([0, 0, -1], np.float32), (n, 1))
+
+    _, fine_theirs = ref.helpers.inverse_transform_sampling(
+        _t(o), _t(d), _t(weights), _t(ts), s, near, far
+    )
+    _, fine_ours = rendering.inverse_transform_sampling(
+        jax.random.PRNGKey(0), jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(weights), jnp.asarray(ts), s, near, far,
+    )
+    edges = np.concatenate([[near], ts[0, :, 0], [far]])
+    h_theirs, _ = np.histogram(fine_theirs.numpy().ravel(), bins=edges)
+    h_ours, _ = np.histogram(np.asarray(fine_ours).ravel(), bins=edges)
+    p_theirs = h_theirs / h_theirs.sum()
+    p_ours = h_ours / h_ours.sum()
+    np.testing.assert_allclose(p_ours, p_theirs, atol=0.02)
+
+
+# ------------------------------------------------- model forward parity
+
+
+def _convert_network(state_dict):
+    from convert_ckpt import convert_mlp_state
+
+    state = {k: v.numpy() for k, v in state_dict.items()}
+    return {
+        "coarse": convert_mlp_state(state, "coarse_network"),
+        "fine": convert_mlp_state(state, "fine_network"),
+    }
+
+
+def test_mlp_forward_parity_with_converted_reference_weights(ref):
+    torch.manual_seed(1)
+    net = ref.model.NeRFNetwork(
+        position_dim=10, direction_dim=4, coarse_samples=8, fine_samples=8
+    )
+    params = _convert_network(net.state_dict())
+
+    rng = np.random.default_rng(4)
+    samples = rng.uniform(-3, 3, (20, 12, 3)).astype(np.float32)
+    direc = rng.normal(size=(20, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        dens_t, rgb_t = net.coarse_network(_t(samples), _t(direc))
+    dens_j, rgb_j = nerf_mlp_apply(
+        params["coarse"], jnp.asarray(samples), jnp.asarray(direc), 10, 4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dens_j), dens_t.numpy(), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_j), rgb_t.numpy(), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_full_deterministic_composite_matches_reference(ref):
+    """End-to-end coarse render under identical (injected) sample times:
+    MLP -> deltas -> weights -> composite, reference torch chain vs ours,
+    with converted weights. Covers the whole deterministic data path of
+    NeRFNetwork.forward (nerf_model.py:103-111) without RNG coupling."""
+    torch.manual_seed(2)
+    net = ref.model.NeRFNetwork(
+        position_dim=10, direction_dim=4, coarse_samples=8, fine_samples=8
+    )
+    params = _convert_network(net.state_dict())
+
+    rng = np.random.default_rng(5)
+    n, s = 16, 24
+    o = rng.normal(size=(n, 3)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    ts = np.sort(rng.uniform(2.0, 6.0, (n, s, 1)).astype(np.float32), axis=1)
+    samples = o[:, None, :] + ts * d[:, None, :]
+
+    with torch.no_grad():
+        dens_t, rgb_t = net.fine_network(_t(samples), _t(d))
+        deltas_t = ref.helpers.generate_deltas(_t(ts))
+        w_t = ref.helpers.calculate_unnormalized_weights(dens_t, deltas_t)
+        color_t = ref.helpers.estimate_ray_color(w_t, rgb_t).numpy()
+
+    dens_j, rgb_j = nerf_mlp_apply(
+        params["fine"], jnp.asarray(samples), jnp.asarray(d), 10, 4
+    )
+    w_j = rendering.calculate_unnormalized_weights(
+        dens_j, rendering.generate_deltas(jnp.asarray(ts))
+    )
+    color_j = np.asarray(rendering.estimate_ray_color(w_j, rgb_j))
+    np.testing.assert_allclose(color_j, color_t, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------ camera math
+
+
+def test_get_rays_matches_reference(ref):
+    rng = np.random.default_rng(6)
+    c2w = np.eye(4, dtype=np.float32)
+    # a random rotation (QR of a random matrix) + translation
+    q, _ = np.linalg.qr(rng.normal(size=(3, 3)))
+    c2w[:3, :3] = q.astype(np.float32)
+    c2w[:3, 3] = rng.normal(size=3).astype(np.float32)
+    h, w, focal = 12, 9, 11.7
+
+    o_t, d_t = ref.dataloader.get_rays(h, w, focal, _t(c2w))
+    o_j, d_j = cameras.get_rays(h, w, focal, jnp.asarray(c2w))
+    np.testing.assert_allclose(np.asarray(o_j), o_t.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d_j), d_t.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_ndc_rays_match_reference(ref):
+    """Numerical NDC check: the reference validated convert_to_ndc_rays
+    against bmild's implementation (Synthetic Dataset Sandbox.ipynb cell 7),
+    so matching the reference's torch function transitively matches bmild."""
+    rng = np.random.default_rng(7)
+    h, w = 6, 8
+    o = rng.normal(size=(h, w, 3)).astype(np.float32)
+    d = rng.normal(size=(h, w, 3)).astype(np.float32)
+    d[..., 2] = -np.abs(d[..., 2]) - 0.5  # front-facing: dz < 0
+    o[..., 2] = -np.abs(o[..., 2]) - 2.0
+    focal = 13.0
+
+    o_t, d_t = ref.dataloader.convert_to_ndc_rays(_t(o), _t(d), focal, w, h)
+    o_j, d_j = cameras.convert_to_ndc_rays(
+        jnp.asarray(o), jnp.asarray(d), focal, w, h
+    )
+    np.testing.assert_allclose(np.asarray(o_j), o_t.numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_j), d_t.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_pose_spherical_matches_reference(ref):
+    for theta, phi, radius in [(-180.0, -30.0, 4.0), (37.5, -30.0, 4.0),
+                               (120.0, -55.0, 2.5)]:
+        theirs = ref.helpers.pose_spherical(theta, phi, radius)
+        theirs = theirs.numpy() if hasattr(theirs, "numpy") else np.asarray(theirs)
+        ours = np.asarray(cameras.pose_spherical(theta, phi, radius))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_torch_to_numpy_matches_reference(ref):
+    from minimal_nerf_tpu.nerf_helpers import torch_to_numpy
+
+    x = torch.rand(2, 3, 4, 5)  # ...CHW
+    theirs = ref.helpers.torch_to_numpy(x, is_normalized_image=True)
+    ours = torch_to_numpy(x, is_normalized_image=True)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+    assert ours.shape == (2, 4, 5, 3)
+
+
+# ------------------------------------------------------- training parity
+
+
+def test_short_training_run_lands_at_comparable_loss(ref):
+    """50 overfit steps on one fixed ray batch, same initial weights, same
+    optimizer (Adam 5e-4): the torch reference and this framework must both
+    converge and land at comparable loss (RNG streams differ, so this is a
+    trajectory-level, not bitwise, comparison)."""
+    import optax
+
+    from minimal_nerf_tpu.training.loop import nerf_loss
+
+    torch.manual_seed(3)
+    cs, fs = 8, 8
+    net = ref.model.NeRFNetwork(
+        position_dim=10, direction_dim=4, coarse_samples=cs, fine_samples=fs
+    )
+    # materialize as jax arrays BEFORE the torch loop mutates the module
+    params0 = jax.tree_util.tree_map(
+        jnp.asarray, _convert_network(net.state_dict())
+    )
+
+    # one fixed batch: rays through a toy scene with a colored target
+    rng = np.random.default_rng(8)
+    n = 128
+    o = np.tile(np.array([0, 0, 4.0], np.float32), (n, 1))
+    d = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    d[:, 2] = -1.0
+    target = rng.uniform(0.2, 0.8, (n, 3)).astype(np.float32)
+
+    # --- torch reference loop (training_step math, nerf_model.py:145-169)
+    o_t, d_t, rgb_t = _t(o), _t(d), _t(target)
+    opt = torch.optim.Adam(net.parameters(), lr=5e-4)
+    torch_losses = []
+    for _ in range(50):
+        out = net.forward(o_t, d_t)
+        loss = torch.nn.functional.mse_loss(
+            out["coarse_rgb_rays"], rgb_t
+        ) + torch.nn.functional.mse_loss(out["fine_rgb_rays"], rgb_t)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss.detach()))
+
+    # --- our loop, same initial weights
+    cfg = NeRFConfig(coarse_samples=cs, fine_samples=fs)
+    tx = optax.adam(5e-4)
+    params = params0
+    opt_state = tx.init(params)
+    oj, dj, rj = jnp.asarray(o), jnp.asarray(d), jnp.asarray(target)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        (loss, _), grads = jax.value_and_grad(nerf_loss, has_aux=True)(
+            params, cfg, oj, dj, rj, key
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    jax_losses = []
+    for i in range(50):
+        params, opt_state, loss = step(
+            params, opt_state, jax.random.fold_in(jax.random.PRNGKey(9), i)
+        )
+        jax_losses.append(float(loss))
+
+    t0, j0 = torch_losses[0], jax_losses[0]
+    t_end = float(np.mean(torch_losses[-5:]))
+    j_end = float(np.mean(jax_losses[-5:]))
+    # same init + same data => same starting loss
+    assert abs(t0 - j0) < 0.05 * max(t0, j0), (t0, j0)
+    # both must make real progress
+    assert t_end < 0.7 * t0, (t0, t_end)
+    assert j_end < 0.7 * j0, (j0, j_end)
+    # and land in the same neighborhood
+    assert abs(t_end - j_end) < 0.35 * max(t_end, j_end), (t_end, j_end)
