@@ -22,6 +22,11 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if n_devices > len(devices):
+                raise ValueError(
+                    f"requested a {n_devices}-device mesh but only "
+                    f"{len(devices)} devices are visible"
+                )
             devices = devices[:n_devices]
     import numpy as np
 

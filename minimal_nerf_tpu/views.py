@@ -28,12 +28,31 @@ DEFAULT_CAM_ANGLE_X = 0.6911112070083618
 # (held in the dict, so its id stays valid) + static shapes. Re-tracing the
 # lax.map per frame costs seconds of host/compile-cache round-trips per view;
 # with the cache, frame i of a render/score run is ONE device dispatch.
-_VIEW_SWEEP_CACHE: dict = {}
+# LRU-bounded: scoring many checkpoints in one process builds a fresh
+# render_chunk closure per checkpoint, and an unbounded cache would pin every
+# compiled sweep (and the params captured in its closure) forever.
+import collections as _collections
+
+_VIEW_SWEEP_CACHE: "_collections.OrderedDict" = _collections.OrderedDict()
+_VIEW_SWEEP_CACHE_MAX = 8
+
+
+def _cache_get(key):
+    fn = _VIEW_SWEEP_CACHE.get(key)
+    if fn is not None:
+        _VIEW_SWEEP_CACHE.move_to_end(key)
+    return fn
+
+
+def _cache_put(key, fn):
+    _VIEW_SWEEP_CACHE[key] = fn
+    while len(_VIEW_SWEEP_CACHE) > _VIEW_SWEEP_CACHE_MAX:
+        _VIEW_SWEEP_CACHE.popitem(last=False)
 
 
 def _view_sweep(render_chunk: Callable, num_chunks: int, chunk: int):
     cache_key = (render_chunk, num_chunks, chunk)
-    fn = _VIEW_SWEEP_CACHE.get(cache_key)
+    fn = _cache_get(cache_key)
     if fn is None:
 
         @jax.jit
@@ -46,7 +65,7 @@ def _view_sweep(render_chunk: Callable, num_chunks: int, chunk: int):
 
             return jax.lax.map(body, (o, d, idx))
 
-        _VIEW_SWEEP_CACHE[cache_key] = fn
+        _cache_put(cache_key, fn)
     return fn
 
 
@@ -136,7 +155,7 @@ def view_reconstruction_with_params(
     ).reshape(num_chunks, chunk, c)
 
     cache_key = (render_chunk_p, num_chunks, chunk)
-    fn = _VIEW_SWEEP_CACHE.get(cache_key)
+    fn = _cache_get(cache_key)
     if fn is None:
 
         @jax.jit
@@ -149,11 +168,57 @@ def view_reconstruction_with_params(
 
             return jax.lax.map(body, (o, d, idx))
 
-        _VIEW_SWEEP_CACHE[cache_key] = fn
+        _cache_put(cache_key, fn)
 
     rgb = fn(params, o, d, key)
     im = np.asarray(rgb.reshape(num_chunks * chunk, 3)[:n].reshape(h, w, 3))
     return np.clip(im * 255.0, 0, 255).astype(np.uint8)
+
+
+def make_sharded_render_chunk(render_chunk_p: Callable, mesh) -> Callable:
+    """Data-parallelize a param-threading render_chunk over a device mesh.
+
+    Rendering is embarrassingly parallel over rays, so each chunk's rays are
+    sharded over the ``data`` axis via ``shard_map`` (each device renders its
+    ray shard, including any Pallas kernels — XLA's SPMD partitioner cannot
+    split custom calls, so partitioning happens outside them). Per-shard
+    render keys are decorrelated with ``fold_in(key, axis_index)``, mirroring
+    the training path.
+
+    Use for multi-chip scoring/rendering (``score.py --data-parallel N``);
+    chunk size must be divisible by the mesh size.
+
+    Args:
+        render_chunk_p: ``(params, o [C,3], d [C,3], key) -> rgb [C,3]``
+            (e.g. from ``make_param_render_chunk``).
+        mesh: a ``('data',)`` mesh from ``parallel.make_mesh``.
+
+    Returns:
+        a callable with the same signature, rays sharded over the mesh.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from minimal_nerf_tpu.parallel import mesh as pmesh
+
+    def per_shard(params, o, d, key):
+        shard_key = jax.random.fold_in(key, jax.lax.axis_index(pmesh.DATA_AXIS))
+        return render_chunk_p(params, o, d, shard_key)
+
+    sharded = jax.shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(), P(pmesh.DATA_AXIS), P(pmesh.DATA_AXIS), P()),
+        out_specs=P(pmesh.DATA_AXIS),
+        check_vma=False,
+    )
+
+    def render_chunk(params, o, d, key):
+        assert o.shape[0] % mesh.size == 0, (
+            f"chunk {o.shape[0]} not divisible by mesh size {mesh.size}"
+        )
+        return sharded(params, o, d, key)
+
+    return render_chunk
 
 
 def make_fine_render_chunk(

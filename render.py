@@ -43,7 +43,7 @@ def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
     )
 
 
-if __name__ == "__main__":
+def main(argv=None):
     parser = argparse.ArgumentParser(description="Render a 360 view from a NeRF Model")
     parser.add_argument("-c", "--ckpt", type=str, required=True,
                         help="ckpt path for model")
@@ -57,7 +57,11 @@ if __name__ == "__main__":
     parser.add_argument("--width", type=int, default=800)
     parser.add_argument("--kernel", choices=["auto", "xla", "pallas", "fused"],
                         default="auto")
-    args = parser.parse_args()
+    args = parser.parse_args(argv)
 
-    render(args.ckpt, args.save_dir, args.rays, args.num_poses,
-           height=args.height, width=args.width, kernel=args.kernel)
+    return render(args.ckpt, args.save_dir, args.rays, args.num_poses,
+                  height=args.height, width=args.width, kernel=args.kernel)
+
+
+if __name__ == "__main__":
+    main()

@@ -15,7 +15,9 @@ import numpy as np
 
 
 def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
-                     kernel: str = "xla"):
+                     kernel: str = "xla", data_parallel: int = 1):
+    import jax
+
     from minimal_nerf_tpu import views
     from minimal_nerf_tpu.data.synthetic import SyntheticScene
     from minimal_nerf_tpu.ops.image_metrics import (
@@ -24,14 +26,10 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
     )
     from minimal_nerf_tpu.training.trainer import load_model_for_inference
 
-    import jax
-
     params, nerf_cfg, train_cfg = load_model_for_inference(ckpt)
     scene = SyntheticScene.load(base_dir, "test")
     mlp_apply, render_fn = None, None
     if kernel == "auto":
-        import jax
-
         kernel = "fused" if jax.default_backend() == "tpu" else "xla"
     if kernel == "pallas":
         from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
@@ -41,10 +39,29 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
         from minimal_nerf_tpu.kernels.fused_raymarch import make_fused_render_fn
 
         render_fn = make_fused_render_fn()
-    render_chunk = views.make_fine_render_chunk(
-        params, nerf_cfg, compute_dtype=train_cfg.compute_dtype,
-        mlp_apply=mlp_apply, render_fn=render_fn,
-    )
+
+    if data_parallel > 1:
+        # shard each chunk's rays over a ('data',) mesh — scoring is
+        # embarrassingly parallel, params replicated, no collectives needed
+        from minimal_nerf_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data_parallel)
+        assert rays % mesh.size == 0, (
+            f"--rays {rays} must be divisible by --data-parallel {mesh.size}"
+        )
+        render_chunk_p = views.make_param_render_chunk(
+            nerf_cfg, compute_dtype=train_cfg.compute_dtype,
+            mlp_apply=mlp_apply, render_fn=render_fn,
+        )
+        sharded_p = views.make_sharded_render_chunk(render_chunk_p, mesh)
+
+        def render_chunk(o, d, key):
+            return sharded_p(params, o, d, key)
+    else:
+        render_chunk = views.make_fine_render_chunk(
+            params, nerf_cfg, compute_dtype=train_cfg.compute_dtype,
+            mlp_apply=mlp_apply, render_fn=render_fn,
+        )
 
     n = scene.num_frames if not limit else min(limit, scene.num_frames)
     ssim_sum = 0.0
@@ -72,7 +89,7 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
     return psnr, ssim
 
 
-if __name__ == "__main__":
+def main(argv=None):
     parser = argparse.ArgumentParser(
         description="Calculate score metrics for NeRF Models."
     )
@@ -87,7 +104,14 @@ if __name__ == "__main__":
                         help="score only the first N test views (0 = all)")
     parser.add_argument("--kernel", choices=["auto", "xla", "pallas", "fused"],
                         default="auto")
-    args = parser.parse_args()
+    parser.add_argument("--data-parallel", type=int, default=1,
+                        help="shard each ray chunk over this many devices")
+    args = parser.parse_args(argv)
 
-    calculate_scores(args.ckpt, args.base_dir, args.rays, limit=args.limit,
-                     kernel=args.kernel)
+    return calculate_scores(args.ckpt, args.base_dir, args.rays,
+                            limit=args.limit, kernel=args.kernel,
+                            data_parallel=args.data_parallel)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,3 +77,26 @@ def test_train_simple_cli(fixture_scene, tmp_path):
     assert (tmp_path / "simpletest" / "metrics.csv").exists()
     # validation reconstruction image written at final step
     assert list((tmp_path / "simpletest" / "images").glob("*.png"))
+
+
+def test_score_cli_data_parallel_matches_single(trained_run, fixture_scene):
+    """--data-parallel scoring on the virtual mesh gives the same PSNR/SSIM
+    (same render keys per chunk shard modulo fold_in decorrelation, so the
+    comparison is statistical: identical to within sampling noise)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    root, ckpt = trained_run
+    psnr1, ssim1 = score_cli.calculate_scores(
+        str(ckpt), fixture_scene, rays=256, limit=1
+    )
+    psnr8, ssim8 = score_cli.calculate_scores(
+        str(ckpt), fixture_scene, rays=256, limit=1, data_parallel=8
+    )
+    assert np.isfinite(psnr8)
+    # MC jitter differs across shard keys; scores must agree closely
+    assert abs(psnr8 - psnr1) < 1.0, (psnr1, psnr8)
+    assert abs(ssim8 - ssim1) < 0.05, (ssim1, ssim8)

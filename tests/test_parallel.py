@@ -176,3 +176,49 @@ def test_trainer_with_mesh_end_to_end(mesh8, fixture_scene, tmp_path):
     params = trainer.fit()
     assert params is not None
     assert list((tmp_path / "mesh-e2e" / "checkpoints").glob("*.ckpt"))
+
+
+def test_sharded_render_chunk_matches_unsharded():
+    """shard_map partitioning of a deterministic render_chunk is exact: per-
+    ray math has no cross-ray reductions, so sharded == unsharded bitwise
+    (up to matmul tiling, hence allclose)."""
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from minimal_nerf_tpu import views
+    from minimal_nerf_tpu.models.mlp import nerf_mlp_apply
+    from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network
+    from minimal_nerf_tpu.ops import rendering
+    from minimal_nerf_tpu.parallel import make_mesh
+
+    cfg = NeRFConfig(coarse_samples=4, fine_samples=4)
+    params = init_nerf_network(jax.random.PRNGKey(0), cfg)
+    mesh = make_mesh(8)
+
+    def render_chunk_p(params, o, d, key):
+        # fully deterministic render (fixed midpoint ts, no jitter): per-ray
+        # math only, so sharding must not change any value. (A jittered
+        # render would differ because uniform draws depend on batch shape.)
+        s = 8
+        ts = jnp.broadcast_to(
+            jnp.linspace(2.0, 6.0, s)[None, :, None], (o.shape[0], s, 1)
+        )
+        samples = o[:, None, :] + ts * d[:, None, :]
+        dens, rgb = nerf_mlp_apply(params["coarse"], samples, d, 10, 4)
+        w = rendering.calculate_unnormalized_weights(
+            dens, rendering.generate_deltas(ts)
+        )
+        return rendering.estimate_ray_color(w, rgb)
+
+    n = 64
+    o = jnp.zeros((n, 3))
+    d = jax.random.normal(jax.random.PRNGKey(1), (n, 3)) - jnp.array([0, 0, 2.0])
+
+    plain = render_chunk_p(params, o, d, jax.random.PRNGKey(0))
+    sharded = views.make_sharded_render_chunk(render_chunk_p, mesh)(
+        params, o, d, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(plain), rtol=1e-5, atol=1e-6
+    )
