@@ -38,8 +38,11 @@ class NeRFConfig:
     # "reference": independent uniform jitter inside the selected coarse bin
     # (reference nerf_helpers.py:154) + full sort of the 192-sample union.
     # "linterp": bmild-style linear inverse-CDF interpolation — fine ts come
-    # out sorted, so the union is an O(n) merge instead of a sort (TPU fast
-    # path; statistically equivalent low-variance sampling).
+    # out sorted, so the union is an O(n) merge instead of a sort.
+    # A/B at production config (PERFORMANCE.md "Fine-sampling A/B"): the
+    # reference mode is BOTH faster on TPU (the 192-wide sort is a cheap
+    # bitonic network; the merge's scatters cost ~4.3ms/step) and
+    # statistically equivalent in quality — so it is the default.
     fine_sampling: str = "reference"
 
     def to_dict(self) -> Dict[str, Any]:

@@ -215,7 +215,9 @@ def inverse_transform_sampling_linterp(
     Because the low-variance ``u`` grid is strictly increasing and the
     piecewise-linear CDF inverse is monotone, the returned ``fine_ts`` is
     ALREADY SORTED per ray — enabling an O(n) merge with the sorted coarse
-    ts instead of a full sort (the TPU fast path).
+    ts instead of a full sort. (Measured at production config the merge is
+    actually SLOWER than the sort on TPU — see PERFORMANCE.md "Fine-sampling
+    A/B" — so this stays a non-default option.)
 
     Returns:
         ``fine_samples [N, S, 3]``, ``fine_ts [N, S, 1]`` sorted along S.
@@ -265,7 +267,9 @@ def merge_sorted_ts(
     other array (two vmapped binary searches + one scatter) — O(n log n)
     compares instead of a full 192-wide sorting network. Requires both inputs
     sorted along axis 1 (``inverse_transform_sampling_linterp`` guarantees
-    this for the fine ts).
+    this for the fine ts). N.B. on TPU at production shape the scatter makes
+    this ~4.3 ms/step SLOWER than ``jnp.sort`` of the union (PERFORMANCE.md
+    "Fine-sampling A/B") — kept for the linterp option, not as a fast path.
 
     Returns:
         ``samples [N, Sf+Sc, 3]``, ``ts [N, Sf+Sc, 1]`` sorted along axis 1.
