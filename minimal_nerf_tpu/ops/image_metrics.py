@@ -38,7 +38,8 @@ def peak_signal_noise_ratio(
     err = np.mean(
         (image_true.astype(np.float64) - image_test.astype(np.float64)) ** 2
     )
-    return float(10.0 * np.log10((data_range**2) / err))
+    with np.errstate(divide="ignore"):  # identical images -> inf, like skimage
+        return float(10.0 * np.log10((data_range**2) / err))
 
 
 def _box_filter(img: np.ndarray, win: int) -> np.ndarray:

@@ -61,3 +61,66 @@ def test_ssim_uniform_shift():
     c1 = (0.01 * 255) ** 2
     expected = (2 * 100 * 110 + c1) / (100**2 + 110**2 + c1)
     assert abs(s - expected) < 1e-9
+
+
+def test_ssim_matches_independent_scipy_reimplementation():
+    """Cross-check against an independent transcription of skimage's
+    structural_similarity algorithm built on scipy.ndimage.uniform_filter
+    (different filtering backend than our integral-image box filter, same
+    published algorithm: uniform 7x7 window, sample covariance, crop
+    (win-1)//2, per-channel average). skimage itself is not installed here;
+    this pins the algorithm against an independent numerical path."""
+    from scipy.ndimage import uniform_filter
+
+    from minimal_nerf_tpu.ops.image_metrics import structural_similarity
+
+    def skimage_algo_ssim(im1, im2, data_range=255.0, win_size=7):
+        def one(x, y):
+            x = x.astype(np.float64)
+            y = y.astype(np.float64)
+            np_pix = win_size**2
+            cov_norm = np_pix / (np_pix - 1)
+            f = lambda a: uniform_filter(a, size=win_size)  # noqa: E731
+            ux, uy = f(x), f(y)
+            vx = cov_norm * (f(x * x) - ux * ux)
+            vy = cov_norm * (f(y * y) - uy * uy)
+            vxy = cov_norm * (f(x * y) - ux * uy)
+            c1 = (0.01 * data_range) ** 2
+            c2 = (0.03 * data_range) ** 2
+            s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / (
+                (ux * ux + uy * uy + c1) * (vx + vy + c2)
+            )
+            pad = (win_size - 1) // 2
+            return s[pad:-pad, pad:-pad].mean()
+
+        return float(np.mean([one(im1[..., c], im2[..., c]) for c in range(3)]))
+
+    rng = np.random.default_rng(0)
+    # recon-like pair: correlated images (signal + noise), and a random pair
+    base = rng.uniform(0, 255, (41, 53, 3))
+    noisy = np.clip(base + rng.normal(0, 12, base.shape), 0, 255)
+    for a, b in [
+        (base.astype(np.uint8), noisy.astype(np.uint8)),
+        (
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8),
+            rng.integers(0, 256, (32, 32, 3), dtype=np.uint8),
+        ),
+    ]:
+        ours = structural_similarity(a, b, multichannel=True)
+        theirs = skimage_algo_ssim(a, b)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-10, atol=1e-12)
+
+
+def test_psnr_matches_opencv():
+    import cv2
+
+    from minimal_nerf_tpu.ops.image_metrics import peak_signal_noise_ratio
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 256, (40, 30, 3), dtype=np.uint8)
+    b = np.clip(
+        a.astype(np.int32) + rng.integers(-20, 20, a.shape), 0, 255
+    ).astype(np.uint8)
+    ours = peak_signal_noise_ratio(a, b)
+    theirs = cv2.PSNR(a, b)  # also uses data_range 255 for uint8
+    np.testing.assert_allclose(ours, theirs, rtol=1e-9)

@@ -380,3 +380,42 @@ def test_metrics_logger_resume_preserves_history(tmp_path):
         rows = list(_csv.DictReader(f))
     assert [r["step"] for r in rows] == ["10", "20"]
     assert rows[1]["b"] == "5.0"
+
+
+def test_metrics_logger_mirrors_to_fake_wandb(tmp_path, monkeypatch):
+    """When wandb is importable, scalars AND images mirror to it
+    (reference train_nerf.py:23, nerf_model.py:203)."""
+    import sys
+    import types
+
+    calls = {"log": [], "init": []}
+    fake = types.ModuleType("wandb")
+
+    class _Run:
+        def log(self, data, step=None):
+            calls["log"].append((data, step))
+
+    def init(project=None, name=None):
+        calls["init"].append((project, name))
+        return _Run()
+
+    class Image:
+        def __init__(self, arr, caption=None):
+            self.arr = np.asarray(arr)
+            self.caption = caption
+
+    fake.init = init
+    fake.Image = Image
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    from minimal_nerf_tpu.training.metrics import MetricsLogger
+
+    lg = MetricsLogger(tmp_path, name="t", echo=False, wandb_project="NeRF")
+    assert calls["init"] == [("NeRF", "t")]
+    lg.log_scalars(5, {"train_loss": 0.5})
+    lg.log_image("recon-val0", np.zeros((4, 4, 3), np.uint8), step=5)
+    scalar_calls = [c for c in calls["log"] if "train_loss" in c[0]]
+    image_calls = [c for c in calls["log"] if "recon" in c[0]]
+    assert scalar_calls == [({"train_loss": 0.5}, 5)]
+    assert len(image_calls) == 1 and image_calls[0][1] == 5
+    assert image_calls[0][0]["recon"][0].caption == "recon-val0"
