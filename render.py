@@ -12,7 +12,8 @@ from pathlib import Path
 
 
 def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
-           height: int = 800, width: int = 800, kernel: str = "xla") -> Path:
+           height: int = 800, width: int = 800, kernel: str = "xla",
+           data_parallel: int = 1) -> Path:
     from minimal_nerf_tpu import views
     from minimal_nerf_tpu.training.trainer import load_model_for_inference
 
@@ -32,10 +33,28 @@ def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
         from minimal_nerf_tpu.kernels.fused_raymarch import make_fused_render_fn
 
         render_fn = make_fused_render_fn()
-    render_chunk = views.make_fine_render_chunk(
-        params, nerf_cfg, compute_dtype=train_cfg.compute_dtype,
-        mlp_apply=mlp_apply, render_fn=render_fn,
-    )
+    if data_parallel > 1:
+        # shard each chunk's rays over a ('data',) mesh (same path as
+        # score.py --data-parallel)
+        from minimal_nerf_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data_parallel)
+        assert rays % mesh.size == 0, (
+            f"--rays {rays} must be divisible by --data-parallel {mesh.size}"
+        )
+        render_chunk_p = views.make_param_render_chunk(
+            nerf_cfg, compute_dtype=train_cfg.compute_dtype,
+            mlp_apply=mlp_apply, render_fn=render_fn,
+        )
+        sharded_p = views.make_sharded_render_chunk(render_chunk_p, mesh)
+
+        def render_chunk(o, d, key):
+            return sharded_p(params, o, d, key)
+    else:
+        render_chunk = views.make_fine_render_chunk(
+            params, nerf_cfg, compute_dtype=train_cfg.compute_dtype,
+            mlp_apply=mlp_apply, render_fn=render_fn,
+        )
     save_dir.mkdir(parents=True, exist_ok=True)
     return views.generate_360_view_synthesis(
         render_chunk, save_dir, epoch, height=height, width=width,
@@ -57,10 +76,13 @@ def main(argv=None):
     parser.add_argument("--width", type=int, default=800)
     parser.add_argument("--kernel", choices=["auto", "xla", "pallas", "fused"],
                         default="auto")
+    parser.add_argument("--data-parallel", type=int, default=1,
+                        help="shard each ray chunk over this many devices")
     args = parser.parse_args(argv)
 
     return render(args.ckpt, args.save_dir, args.rays, args.num_poses,
-                  height=args.height, width=args.width, kernel=args.kernel)
+                  height=args.height, width=args.width, kernel=args.kernel,
+                  data_parallel=args.data_parallel)
 
 
 if __name__ == "__main__":

@@ -100,3 +100,18 @@ def test_score_cli_data_parallel_matches_single(trained_run, fixture_scene):
     # MC jitter differs across shard keys; scores must agree closely
     assert abs(psnr8 - psnr1) < 1.0, (psnr1, psnr8)
     assert abs(ssim8 - ssim1) < 0.05, (ssim1, ssim8)
+
+
+def test_render_cli_data_parallel(trained_run, tmp_path):
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    root, ckpt = trained_run
+    gif = render_cli.render(
+        str(ckpt), tmp_path, rays=256, num_poses=1, height=32, width=32,
+        data_parallel=8,
+    )
+    assert gif.exists() and gif.name.endswith("-360.gif")
