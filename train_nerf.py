@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (fail fast on non-finite "
                              "values; disables some optimizations)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="write a jax.profiler trace of the whole run to "
+                             "DIR (offline parsing recipe in PERFORMANCE.md)")
     parser.add_argument("--seed", type=int, default=0)
 
     simple_parser = subparsers.add_parser("simple")
@@ -191,6 +194,22 @@ def main(argv=None) -> None:
         import jax
 
         jax.config.update("jax_debug_nans", True)
+    if getattr(args, "profile", None):
+        # whole-run jax.profiler trace; parse offline per PERFORMANCE.md
+        import contextlib
+
+        from minimal_nerf_tpu.utils.profiling import trace
+
+        ctx = trace(args.profile)
+    else:
+        import contextlib
+
+        ctx = contextlib.nullcontext()
+    with ctx:
+        _dispatch(args)
+
+
+def _dispatch(args) -> None:
     if args.type == "full":
         train_full_nerf(args)
     elif args.type == "single":
