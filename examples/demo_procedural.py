@@ -27,6 +27,14 @@ def main() -> None:
     parser.add_argument("--fine", type=int, default=32)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     parser.add_argument("--kernel", default="xla", choices=["xla", "pallas", "fused"])
+    parser.add_argument("--steps-per-call", type=int, default=1,
+                        help="fuse N train steps per dispatch (lax.scan)")
+    parser.add_argument("--fine-sampling", default="reference",
+                        choices=["reference", "linterp"])
+    parser.add_argument("--occupancy", action="store_true",
+                        help="occupancy-grid accelerated coarse sampling")
+    parser.add_argument("--name", default="demo",
+                        help="run name under --out (for A/B comparisons)")
     args = parser.parse_args()
 
     out = Path(args.out)
@@ -45,16 +53,21 @@ def main() -> None:
     import train_nerf
 
     print(f"[demo] training {args.steps} steps ...")
-    train_nerf.main([
-        "-n", "demo", "-s", str(args.steps), "-r", str(args.rays),
+    argv = [
+        "-n", args.name, "-s", str(args.steps), "-r", str(args.rays),
         "-rd", str(out), "--precision", args.precision, "--kernel", args.kernel,
+        "--steps-per-call", str(args.steps_per_call),
         "full", "-b", str(scene_dir), "-c", str(args.coarse),
         "-f", str(args.fine), "-cr", "0",
-    ])
+        "--fine-sampling", args.fine_sampling,
+    ]
+    if args.occupancy:
+        argv.append("--occupancy")
+    train_nerf.main(argv)
 
     from minimal_nerf_tpu.training import checkpoint as ckpt_lib
 
-    ckpt = ckpt_lib.latest_checkpoint(out / "demo" / "checkpoints")
+    ckpt = ckpt_lib.latest_checkpoint(out / args.name / "checkpoints")
     print(f"[demo] latest checkpoint: {ckpt}")
 
     import render as render_cli

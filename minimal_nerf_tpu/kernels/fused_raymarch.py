@@ -446,19 +446,26 @@ def render_rays_fused(
     ray_tile: int = DEFAULT_RAY_TILE,
     bwd_ray_tile: int = 0,
     interpret: bool = False,
+    coarse_sampler=None,
 ) -> Dict[str, jnp.ndarray]:
     """Hierarchical render with both passes through the fused kernel.
 
     Drop-in equivalent of ``models.nerf.render_rays`` (same sampling RNG
     stream, same math — see tests/test_fused_raymarch.py) with sampling and
     the 192-sample union in XLA and everything else in the kernel.
+    ``coarse_sampler`` overrides coarse sample placement exactly as in
+    ``models.nerf.render_rays`` (the kernel only consumes the resulting ts).
     """
     from minimal_nerf_tpu.ops import rendering
 
+    sample_coarse = (
+        coarse_sampler if coarse_sampler is not None
+        else rendering.generate_coarse_samples
+    )
     k_coarse, k_cdf = jax.random.split(key)
     # ts only; the sample positions XLA would build here are dead code
     # (the kernel reconstructs x = o + t*d in VMEM)
-    _, coarse_ts = rendering.generate_coarse_samples(
+    _, coarse_ts = sample_coarse(
         k_coarse, o_rays, d_rays, config.coarse_samples, config.near, config.far
     )
     coarse_color, coarse_weights = fused_render_pass(
@@ -503,11 +510,12 @@ def make_fused_render_fn(ray_tile: int = DEFAULT_RAY_TILE,
     # densities never leave the fused kernel's VMEM, so the density
     # diagnostics are only available on the XLA path.
     def render_fn(params, config, o_rays, d_rays, key, compute_dtype=None,
-                  mlp_apply=None, return_stats=False):
+                  mlp_apply=None, return_stats=False, coarse_sampler=None):
         return render_rays_fused(
             params, config, o_rays, d_rays, key,
             compute_dtype=compute_dtype, ray_tile=ray_tile,
             bwd_ray_tile=bwd_ray_tile, interpret=interpret,
+            coarse_sampler=coarse_sampler,
         )
 
     return render_fn

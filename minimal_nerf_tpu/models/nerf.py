@@ -72,6 +72,7 @@ def render_rays(
     compute_dtype=None,
     mlp_apply=None,
     return_stats: bool = False,
+    coarse_sampler=None,
 ) -> Dict[str, jnp.ndarray]:
     """Hierarchical volume render of a ray batch (reference ``nerf_model.py:89-132``).
 
@@ -90,16 +91,25 @@ def render_rays(
             ``sqrt`` AFTER any cross-shard reduction so the norm matches the
             reference's whole-batch ``torch.linalg.norm``) and
             ``{coarse,fine}_density_non_zeros`` counts.
+        coarse_sampler: override for the coarse sample placement (e.g. the
+            occupancy-guided sampler, ``ops.occupancy.make_occupancy_sampler``);
+            signature of ``rendering.generate_coarse_samples``'s
+            ``(key, o, d, num_samples, near, far)`` tail. Default = the
+            reference's uniform stratified sweep.
 
     Returns:
         dict with ``fine_rgb_rays [N, 3]`` and ``coarse_rgb_rays [N, 3]``
         (plus the four scalar stats when ``return_stats``).
     """
     apply_fn = mlp_apply if mlp_apply is not None else nerf_mlp_apply
+    sample_coarse = (
+        coarse_sampler if coarse_sampler is not None
+        else rendering.generate_coarse_samples
+    )
     k_coarse, k_cdf = jax.random.split(key)
 
     # Coarse pass.
-    coarse_samples, coarse_ts = rendering.generate_coarse_samples(
+    coarse_samples, coarse_ts = sample_coarse(
         k_coarse, o_rays, d_rays, config.coarse_samples, config.near, config.far
     )
     coarse_density, coarse_rgb = apply_fn(

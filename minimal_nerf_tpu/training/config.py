@@ -41,6 +41,35 @@ class TrainConfig:
     # RBG generator: same statistical quality for sampling jitter, far
     # cheaper on TPU.
     rng_impl: str = "threefry2x32"
+    # Occupancy-grid accelerated coarse sampling (opt-in; no reference
+    # counterpart — see ops/occupancy.py). OFF by default to preserve the
+    # reference's uniform stratified semantics. The remaining occ_* fields
+    # mirror ops.occupancy.OccupancyConfig and are inert unless occupancy=True.
+    occupancy: bool = False
+    occ_resolution: int = 64
+    occ_bound: float = 3.2
+    occ_threshold: float = 1e-2
+    occ_decay: float = 0.9
+    occ_update_every: int = 16
+    occ_warmup_steps: int = 256
+    occ_num_bins: int = 64
+
+    @property
+    def occupancy_config(self):
+        """The ``OccupancyConfig`` this config describes, or None when off."""
+        if not self.occupancy:
+            return None
+        from minimal_nerf_tpu.ops.occupancy import OccupancyConfig
+
+        return OccupancyConfig(
+            resolution=self.occ_resolution,
+            bound=self.occ_bound,
+            threshold=self.occ_threshold,
+            decay=self.occ_decay,
+            update_every=self.occ_update_every,
+            warmup_steps=self.occ_warmup_steps,
+            num_bins=self.occ_num_bins,
+        )
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)

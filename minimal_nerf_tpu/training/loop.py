@@ -111,16 +111,20 @@ def nerf_loss(
     compute_dtype=None,
     mlp_apply=None,
     render_fn=None,
+    coarse_sampler=None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """``MSE(coarse, gt) + MSE(fine, gt)`` (reference ``nerf_model.py:158-161``).
 
     ``render_fn`` overrides the hierarchical render (e.g. the fully-fused
-    Pallas path ``kernels.fused_raymarch.render_rays_fused``).
+    Pallas path ``kernels.fused_raymarch.render_rays_fused``);
+    ``coarse_sampler`` overrides coarse sample placement (e.g. the
+    occupancy-guided sampler, ``ops.occupancy``).
     """
     render = render_fn if render_fn is not None else render_rays
     out = render(
         params, nerf_cfg, o_rays, d_rays, key,
         compute_dtype=compute_dtype, mlp_apply=mlp_apply, return_stats=True,
+        coarse_sampler=coarse_sampler,
     )
     coarse_loss = jnp.mean((out["coarse_rgb_rays"] - rgb) ** 2)
     fine_loss = jnp.mean((out["fine_rgb_rays"] - rgb) ** 2)
@@ -161,6 +165,64 @@ def single_nerf_loss(
 # Stream tag separating the per-epoch shuffle's key stream from the per-step
 # sampling stream (both are folded from the same base key).
 _PERM_STREAM_TAG = 0x5EED
+# Stream tag for the occupancy-grid update jitter (independent of the batch
+# and render streams so enabling the grid never perturbs them).
+_OCC_STREAM_TAG = 0x0CC
+
+
+def make_occupancy_loss(occupancy_cfg, base_loss_fn: Callable = nerf_loss) -> Callable:
+    """Wrap a hierarchical loss so its coarse sampler is occupancy-guided.
+
+    The returned loss takes the packed occupancy words as a trailing
+    positional arg (threaded as a replicated ``num_ctx`` array through
+    ``make_sharded_grad_fn`` on a mesh).
+    """
+    from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+    def loss_fn(params, nerf_cfg, o_rays, d_rays, rgb, key,
+                compute_dtype=None, mlp_apply=None, occ_words=None):
+        sampler = occ_lib.make_occupancy_sampler(occ_words, occupancy_cfg)
+        return base_loss_fn(
+            params, nerf_cfg, o_rays, d_rays, rgb, key,
+            compute_dtype, mlp_apply, coarse_sampler=sampler,
+        )
+
+    return loss_fn
+
+
+def _occ_step_context(occupancy_cfg, nerf_cfg, compute_dtype, params, grid,
+                      step, key):
+    """Per-step occupancy work: scheduled EMA update + packed words + stats.
+
+    The grid update runs through the plain XLA MLP apply (not any custom
+    ``mlp_apply`` kernel): it evaluates ``2 * G^3`` points once every
+    ``update_every`` steps, so kernel tiling constraints/benefits are moot.
+    On a mesh this computation is replicated per device (outside the
+    ``shard_map``) — identical inputs give identical grids on every device.
+
+    Returns:
+        ``(grid, occ_words, occ_fraction)``.
+    """
+    from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+    k_occ = jax.random.fold_in(key, _OCC_STREAM_TAG)
+    do_update = (step % occupancy_cfg.update_every) == 0
+    grid = jax.lax.cond(
+        do_update,
+        lambda g: occ_lib.update_grid_ema(
+            g, jax.lax.stop_gradient(params),
+            nerf_cfg.position_dim, nerf_cfg.direction_dim,
+            occupancy_cfg, k_occ, compute_dtype=compute_dtype,
+        ),
+        lambda g: g,
+        grid,
+    )
+    warm = step < occupancy_cfg.warmup_steps
+    occ_words = occ_lib.pack_occupancy(grid, occupancy_cfg, force_all=warm)
+    occ_fraction = jnp.sum(
+        jax.lax.population_count(occ_words)
+    ).astype(jnp.float32) / (occ_words.size * 32)
+    return grid, occ_words, occ_fraction
 
 
 def sample_train_batch(
@@ -216,7 +278,8 @@ def sample_train_batch(
 
 
 def make_sharded_grad_fn(
-    loss_fn: Callable, nerf_cfg: NeRFConfig, mesh, compute_dtype, mlp_apply
+    loss_fn: Callable, nerf_cfg: NeRFConfig, mesh, compute_dtype, mlp_apply,
+    num_ctx: int = 0,
 ) -> Callable:
     """Data-parallel loss+grad via ``shard_map`` over the ``data`` axis.
 
@@ -225,14 +288,17 @@ def make_sharded_grad_fn(
     outside them) on its ray shard; loss/metrics/grads are ``pmean``-reduced
     over ICI. The per-shard render key is decorrelated with
     ``fold_in(key, axis_index)`` so sampling jitter is independent per shard.
+
+    ``num_ctx`` extra REPLICATED arrays (e.g. the packed occupancy grid) are
+    accepted after ``key`` and forwarded to ``loss_fn`` as trailing args.
     """
     from jax.sharding import PartitionSpec as P
 
-    def per_shard(params, origin, direc, rgb, key):
+    def per_shard(params, origin, direc, rgb, key, *ctx):
         shard_key = jax.random.fold_in(key, jax.lax.axis_index(pmesh.DATA_AXIS))
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, nerf_cfg, origin, direc, rgb, shard_key,
-            compute_dtype, mlp_apply,
+            compute_dtype, mlp_apply, *ctx,
         )
         grads = jax.lax.pmean(grads, pmesh.DATA_AXIS)
         loss = jax.lax.pmean(loss, pmesh.DATA_AXIS)
@@ -243,7 +309,7 @@ def make_sharded_grad_fn(
         per_shard,
         mesh=mesh,
         in_specs=(P(), P(pmesh.DATA_AXIS), P(pmesh.DATA_AXIS),
-                  P(pmesh.DATA_AXIS), P()),
+                  P(pmesh.DATA_AXIS), P()) + (P(),) * num_ctx,
         out_specs=((P(), P()), P()),
         check_vma=False,
     )
@@ -256,28 +322,80 @@ def make_train_step(
     mesh=None,
     mlp_apply=None,
     loss_fn: Callable = nerf_loss,
+    occupancy_cfg=None,
 ) -> Tuple[Callable, optax.GradientTransformation]:
     """Build the jitted, donated train step.
 
     Args:
         loss_fn: ``nerf_loss`` (hierarchical, default) or ``single_nerf_loss``
             (coarse-only debug model).
+        occupancy_cfg: optional ``ops.occupancy.OccupancyConfig``; when set,
+            coarse sampling is occupancy-guided and the step carries the
+            density-EMA grid as extra donated state (hierarchical loss only).
 
     Returns:
         ``(step_fn, optimizer)`` where
         ``step_fn(params, opt_state, images, poses, step, base_key) ->
         (params, opt_state, metrics)``; params/opt_state buffers are donated.
+        With ``occupancy_cfg``:
+        ``step_fn(params, opt_state, grid, images, poses, step, base_key) ->
+        (params, opt_state, grid, metrics)``.
     """
     steps_per_epoch = train_cfg.steps_per_epoch or static.num_frames
     tx = make_optimizer(train_cfg, steps_per_epoch)
     compute_dtype = train_cfg.compute_dtype
+    lr_sched = make_lr_schedule(train_cfg, steps_per_epoch)
+    grad_loss = (
+        make_occupancy_loss(occupancy_cfg, base_loss_fn=loss_fn)
+        if occupancy_cfg is not None
+        else loss_fn
+    )
     sharded_grad = (
-        make_sharded_grad_fn(loss_fn, nerf_cfg, mesh, compute_dtype, mlp_apply)
+        make_sharded_grad_fn(
+            grad_loss, nerf_cfg, mesh, compute_dtype, mlp_apply,
+            num_ctx=1 if occupancy_cfg is not None else 0,
+        )
         if mesh is not None
         else None
     )
 
-    def step_fn(params, opt_state, images, poses, step, base_key):
+    def step_core(params, opt_state, batch, k_render, step, ctx=()):
+        if mesh is not None:
+            batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
+            (loss, metrics), grads = sharded_grad(
+                params, batch["origin"], batch["direc"], batch["rgb"],
+                k_render, *ctx,
+            )
+        else:
+            # fold_in(0) mirrors the sharded path's per-shard key derivation,
+            # so a 1-device mesh is bitwise-identical to no mesh
+            (loss, metrics), grads = jax.value_and_grad(grad_loss, has_aux=True)(
+                params, nerf_cfg, batch["origin"], batch["direc"], batch["rgb"],
+                jax.random.fold_in(k_render, 0), compute_dtype, mlp_apply, *ctx,
+            )
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        metrics = finalize_metrics(
+            metrics, grads, mesh.size if mesh is not None else 1
+        )
+        metrics = dict(metrics, lr=lr_sched(step))
+        return new_params, new_opt_state, metrics
+
+    if occupancy_cfg is None:
+
+        def step_fn(params, opt_state, images, poses, step, base_key):
+            key = jax.random.fold_in(base_key, step)
+            k_batch, k_render = jax.random.split(key)
+            batch = sample_train_batch(
+                k_batch, step, images, poses, static,
+                train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
+                base_key,
+            )
+            return step_core(params, opt_state, batch, k_render, step)
+
+        return jax.jit(step_fn, donate_argnums=(0, 1)), tx
+
+    def occ_step_fn(params, opt_state, grid, images, poses, step, base_key):
         key = jax.random.fold_in(base_key, step)
         k_batch, k_render = jax.random.split(key)
         batch = sample_train_batch(
@@ -285,28 +403,16 @@ def make_train_step(
             train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
             base_key,
         )
-        if mesh is not None:
-            batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
-            (loss, metrics), grads = sharded_grad(
-                params, batch["origin"], batch["direc"], batch["rgb"], k_render
-            )
-        else:
-            # fold_in(0) mirrors the sharded path's per-shard key derivation,
-            # so a 1-device mesh is bitwise-identical to no mesh
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, nerf_cfg, batch["origin"], batch["direc"], batch["rgb"],
-                jax.random.fold_in(k_render, 0), compute_dtype, mlp_apply,
-            )
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        metrics = finalize_metrics(
-            metrics, grads, mesh.size if mesh is not None else 1
+        grid, occ_words, occ_fraction = _occ_step_context(
+            occupancy_cfg, nerf_cfg, compute_dtype, params, grid, step, key
         )
-        metrics = dict(metrics, lr=make_lr_schedule(train_cfg, steps_per_epoch)(step))
-        return new_params, new_opt_state, metrics
+        params, opt_state, metrics = step_core(
+            params, opt_state, batch, k_render, step, ctx=(occ_words,)
+        )
+        metrics = dict(metrics, occ_fraction=occ_fraction)
+        return params, opt_state, grid, metrics
 
-    jitted = jax.jit(step_fn, donate_argnums=(0, 1))
-    return jitted, tx
+    return jax.jit(occ_step_fn, donate_argnums=(0, 1, 2)), tx
 
 
 def make_eval_step(
@@ -345,65 +451,111 @@ def make_multi_step(
     mesh=None,
     mlp_apply=None,
     loss_fn: Callable = nerf_loss,
+    occupancy_cfg=None,
 ) -> Tuple[Callable, optax.GradientTransformation]:
     """``num_inner`` train steps fused into one ``lax.scan`` dispatch.
 
     Used by the benchmark and long headless runs to amortize host dispatch to
-    zero; semantics identical to ``make_train_step`` iterated.
+    zero; semantics identical to ``make_train_step`` iterated (including the
+    scheduled occupancy-grid updates when ``occupancy_cfg`` is set — the
+    update's ``lax.cond`` sits inside the scan body).
 
     Returns:
         ``(multi_fn, optimizer)`` where ``multi_fn(params, opt_state, images,
         poses, start_step, base_key) -> (params, opt_state, last_metrics)``.
+        With ``occupancy_cfg`` the grid is threaded as in ``make_train_step``.
     """
     steps_per_epoch = train_cfg.steps_per_epoch or static.num_frames
     tx = make_optimizer(train_cfg, steps_per_epoch)
     compute_dtype = train_cfg.compute_dtype
     lr_sched = make_lr_schedule(train_cfg, steps_per_epoch)
+    grad_loss = (
+        make_occupancy_loss(occupancy_cfg, base_loss_fn=loss_fn)
+        if occupancy_cfg is not None
+        else loss_fn
+    )
     sharded_grad = (
-        make_sharded_grad_fn(loss_fn, nerf_cfg, mesh, compute_dtype, mlp_apply)
+        make_sharded_grad_fn(
+            grad_loss, nerf_cfg, mesh, compute_dtype, mlp_apply,
+            num_ctx=1 if occupancy_cfg is not None else 0,
+        )
         if mesh is not None
         else None
     )
 
-    def multi_fn(params, opt_state, images, poses, start_step, base_key):
+    def inner_step(params, opt_state, images, poses, step, base_key, ctx=()):
+        key = jax.random.fold_in(base_key, step)
+        k_batch, k_render = jax.random.split(key)
+        batch = sample_train_batch(
+            k_batch, step, images, poses, static,
+            train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
+            base_key,
+        )
+        if mesh is not None:
+            batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
+            (_, metrics), grads = sharded_grad(
+                params, batch["origin"], batch["direc"], batch["rgb"],
+                k_render, *ctx,
+            )
+        else:
+            (_, metrics), grads = jax.value_and_grad(grad_loss, has_aux=True)(
+                params, nerf_cfg,
+                batch["origin"], batch["direc"], batch["rgb"],
+                jax.random.fold_in(k_render, 0), compute_dtype, mlp_apply,
+                *ctx,
+            )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = finalize_metrics(
+            metrics, grads, mesh.size if mesh is not None else 1
+        )
+        # metrics are stacked scan outputs (scalars only — the per-step
+        # dynamic-update-slice cost is a few floats); the caller keeps
+        # the last row
+        return params, opt_state, metrics
+
+    if occupancy_cfg is None:
+
+        def multi_fn(params, opt_state, images, poses, start_step, base_key):
+            def one_step(carry, step):
+                params, opt_state = carry
+                params, opt_state, metrics = inner_step(
+                    params, opt_state, images, poses, step, base_key
+                )
+                return (params, opt_state), metrics
+
+            steps = start_step + jnp.arange(num_inner)
+            (params, opt_state), stacked = jax.lax.scan(
+                one_step, (params, opt_state), steps
+            )
+            last_metrics = {k: v[-1] for k, v in stacked.items()}
+            last_metrics = dict(
+                last_metrics, lr=lr_sched(start_step + num_inner - 1)
+            )
+            return params, opt_state, last_metrics
+
+        return jax.jit(multi_fn, donate_argnums=(0, 1)), tx
+
+    def occ_multi_fn(params, opt_state, grid, images, poses, start_step, base_key):
         def one_step(carry, step):
-            params, opt_state = carry
+            params, opt_state, grid = carry
             key = jax.random.fold_in(base_key, step)
-            k_batch, k_render = jax.random.split(key)
-            batch = sample_train_batch(
-                k_batch, step, images, poses, static,
-                train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
-                base_key,
+            grid, occ_words, occ_fraction = _occ_step_context(
+                occupancy_cfg, nerf_cfg, compute_dtype, params, grid, step, key
             )
-            if mesh is not None:
-                batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
-                (_, metrics), grads = sharded_grad(
-                    params, batch["origin"], batch["direc"], batch["rgb"],
-                    k_render,
-                )
-            else:
-                (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, nerf_cfg,
-                    batch["origin"], batch["direc"], batch["rgb"],
-                    jax.random.fold_in(k_render, 0), compute_dtype, mlp_apply,
-                )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            metrics = finalize_metrics(
-                metrics, grads, mesh.size if mesh is not None else 1
+            params, opt_state, metrics = inner_step(
+                params, opt_state, images, poses, step, base_key,
+                ctx=(occ_words,),
             )
-            # metrics are stacked scan outputs (scalars only — the per-step
-            # dynamic-update-slice cost is a few floats); the caller keeps
-            # the last row
-            return (params, opt_state), metrics
+            metrics = dict(metrics, occ_fraction=occ_fraction)
+            return (params, opt_state, grid), metrics
 
         steps = start_step + jnp.arange(num_inner)
-        (params, opt_state), stacked = jax.lax.scan(
-            one_step, (params, opt_state), steps
+        (params, opt_state, grid), stacked = jax.lax.scan(
+            one_step, (params, opt_state, grid), steps
         )
         last_metrics = {k: v[-1] for k, v in stacked.items()}
         last_metrics = dict(last_metrics, lr=lr_sched(start_step + num_inner - 1))
-        return params, opt_state, last_metrics
+        return params, opt_state, grid, last_metrics
 
-    jitted = jax.jit(multi_fn, donate_argnums=(0, 1))
-    return jitted, tx
+    return jax.jit(occ_multi_fn, donate_argnums=(0, 1, 2)), tx

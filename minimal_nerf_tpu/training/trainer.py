@@ -83,6 +83,10 @@ class Trainer:
         self.steps_per_epoch = (
             train_config.steps_per_epoch or self.static.num_frames
         )
+        self._occ_cfg = train_config.occupancy_config
+        if self._occ_cfg is not None and mode != "full":
+            raise ValueError("occupancy acceleration requires mode='full'")
+        self._grid = None
         if mode == "full":
             loss_fn = (
                 functools.partial(nerf_loss, render_fn=render_fn)
@@ -93,7 +97,7 @@ class Trainer:
             loss_fn = single_nerf_loss
         self.step_fn, self.tx = make_train_step(
             nerf_config, train_config, self.static, mesh=mesh,
-            mlp_apply=mlp_apply, loss_fn=loss_fn,
+            mlp_apply=mlp_apply, loss_fn=loss_fn, occupancy_cfg=self._occ_cfg,
         )
         self.multi_fn = None
         if train_config.steps_per_call > 1:
@@ -103,6 +107,7 @@ class Trainer:
                 nerf_config, train_config, self.static,
                 num_inner=train_config.steps_per_call, mesh=mesh,
                 mlp_apply=mlp_apply, loss_fn=loss_fn,
+                occupancy_cfg=self._occ_cfg,
             )
         self.eval_fn = (
             make_eval_step(nerf_config, train_config, mesh=mesh,
@@ -131,7 +136,13 @@ class Trainer:
     # ------------------------------------------------------------------ state
 
     def init_state(self):
-        """Fresh or resumed (params, opt_state, start_step)."""
+        """Fresh or resumed (params, opt_state, start_step).
+
+        With occupancy acceleration the density-EMA grid is part of the
+        training state: it rides the checkpoint inside the ``opt_state``
+        slot (``{"opt": ..., "occ_ema": ...}`` — same on-disk format, no new
+        fields) and is tracked as ``self._grid``.
+        """
         init_key = jax.random.fold_in(self.base_key, 1)
         params = (
             init_nerf_network(init_key, self.nerf_config)
@@ -143,6 +154,11 @@ class Trainer:
             )
         )
         opt_state = self.tx.init(params)
+        grid = None
+        if self._occ_cfg is not None:
+            from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+            grid = occ_lib.init_grid(self._occ_cfg)
         start_step = 0
         resume = self.resume_ckpt
         if resume == "auto":
@@ -150,11 +166,18 @@ class Trainer:
             resume = str(latest) if latest else None
         if resume:
             header, leaves = ckpt_lib.load_checkpoint(resume)
-            params, opt_state = ckpt_lib.restore_state(
-                header, leaves, params, opt_state
-            )
+            if self._occ_cfg is not None:
+                params, wrapped = ckpt_lib.restore_state(
+                    header, leaves, params, {"opt": opt_state, "occ_ema": grid}
+                )
+                opt_state, grid = wrapped["opt"], wrapped["occ_ema"]
+            else:
+                params, opt_state = ckpt_lib.restore_state(
+                    header, leaves, params, opt_state
+                )
             start_step = header["step"]
             print(f"[trainer] resumed from {resume} at step {start_step}")
+        self._grid = grid
         return params, opt_state, start_step
 
     # ------------------------------------------------------------------- fit
@@ -163,6 +186,7 @@ class Trainer:
         """Run training to ``max_steps``. Returns the final params."""
         cfg = self.train_config
         params, opt_state, start_step = self.init_state()
+        grid = self._grid
         arrays = self.train_scene.device_arrays()
         if self.mesh is not None:
             from minimal_nerf_tpu.parallel.mesh import replicated_sharding
@@ -171,6 +195,8 @@ class Trainer:
             arrays = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
             params = jax.device_put(params, sharding)
             opt_state = jax.device_put(opt_state, sharding)
+            if grid is not None:
+                grid = jax.device_put(grid, sharding)
 
         self.logger.log_hyperparams(
             {**self.nerf_config.to_dict(), **cfg.to_dict(), "name": self.name}
@@ -193,17 +219,30 @@ class Trainer:
             boundary = next_boundary(step)
             spc = cfg.steps_per_call
             if self.multi_fn is not None and boundary - step >= spc:
-                params, opt_state, metrics = self.multi_fn(
-                    params, opt_state, arrays["images"], arrays["poses"],
-                    step, self.base_key,
-                )
+                if grid is not None:
+                    params, opt_state, grid, metrics = self.multi_fn(
+                        params, opt_state, grid,
+                        arrays["images"], arrays["poses"], step, self.base_key,
+                    )
+                else:
+                    params, opt_state, metrics = self.multi_fn(
+                        params, opt_state, arrays["images"], arrays["poses"],
+                        step, self.base_key,
+                    )
                 advanced = spc
             else:
-                params, opt_state, metrics = self.step_fn(
-                    params, opt_state, arrays["images"], arrays["poses"],
-                    step, self.base_key,
-                )
+                if grid is not None:
+                    params, opt_state, grid, metrics = self.step_fn(
+                        params, opt_state, grid,
+                        arrays["images"], arrays["poses"], step, self.base_key,
+                    )
+                else:
+                    params, opt_state, metrics = self.step_fn(
+                        params, opt_state, arrays["images"], arrays["poses"],
+                        step, self.base_key,
+                    )
                 advanced = 1
+            self._grid = grid
             step += advanced
             pending_metrics = metrics
             steps_since_log += advanced
@@ -306,6 +345,9 @@ class Trainer:
         self._check_pending_save()
         epoch = step // self.steps_per_epoch
         path = self.ckpt_dir / ckpt_lib.checkpoint_name(self.name, epoch, step)
+        if getattr(self, "_occ_cfg", None) is not None:
+            # the EMA grid rides the opt_state slot (see init_state docstring)
+            opt_state = {"opt": opt_state, "occ_ema": self._grid}
         fut = ckpt_lib.save_checkpoint_async(
             path, params, opt_state, step,
             self.nerf_config.to_dict(), self.train_config.to_dict(),
@@ -344,5 +386,11 @@ def load_model_for_inference(ckpt_path):
 
     tx = make_optimizer(train_cfg, train_cfg.steps_per_epoch or 100)
     opt_template = tx.init(params_template)
+    occ_cfg = train_cfg.occupancy_config
+    if occ_cfg is not None:
+        # occupancy runs store the EMA grid inside the opt_state slot
+        from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+        opt_template = {"opt": opt_template, "occ_ema": occ_lib.init_grid(occ_cfg)}
     params, _ = ckpt_lib.restore_state(header, leaves, params_template, opt_template)
     return params, nerf_cfg, train_cfg

@@ -81,6 +81,19 @@ def build_parser() -> argparse.ArgumentParser:
                              default="reference",
                              help="in-bin jitter (reference parity) vs linear "
                                   "CDF interpolation (sort-free TPU fast path)")
+    full_parser.add_argument("--occupancy", action="store_true",
+                             help="occupancy-grid accelerated coarse sampling "
+                                  "(opt-in; concentrates samples in occupied "
+                                  "space so -c/-f can be reduced at equal "
+                                  "quality — see PERFORMANCE.md)")
+    full_parser.add_argument("--occ-resolution", type=int, default=64,
+                             help="occupancy grid cells per axis")
+    full_parser.add_argument("--occ-threshold", type=float, default=1e-2,
+                             help="density threshold for an occupied cell")
+    full_parser.add_argument("--occ-update-every", type=int, default=16,
+                             help="train steps between grid EMA updates")
+    full_parser.add_argument("--occ-warmup-steps", type=int, default=256,
+                             help="steps with every cell forced occupied")
 
     single_parser.add_argument("-b", "--base_dir", type=str, default="./dev_data/",
                                help="directory for dataset")
@@ -144,6 +157,11 @@ def train_full_nerf(args) -> None:
         precision=args.precision,
         seed=args.seed,
         steps_per_call=args.steps_per_call,
+        occupancy=args.occupancy,
+        occ_resolution=args.occ_resolution,
+        occ_threshold=args.occ_threshold,
+        occ_update_every=args.occ_update_every,
+        occ_warmup_steps=args.occ_warmup_steps,
     )
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
