@@ -115,3 +115,25 @@ def test_render_cli_data_parallel(trained_run, tmp_path):
         data_parallel=8,
     )
     assert gif.exists() and gif.name.endswith("-360.gif")
+
+
+def test_train_full_cli_occupancy(fixture_scene, tmp_path):
+    """--occupancy trains, logs occ_fraction, and render/score accept the ckpt."""
+    train_nerf.main(
+        [
+            "-n", "occtest", "-s", "6", "-r", "64", "-rd", str(tmp_path),
+            "--precision", "fp32",
+            "full", "-b", str(fixture_scene), "-c", "8", "-f", "8", "-cr", "0",
+            "--occupancy", "--occ-resolution", "16",
+            "--occ-update-every", "2", "--occ-warmup-steps", "3",
+        ]
+    )
+    ckpts = sorted((tmp_path / "occtest" / "checkpoints").glob("*.ckpt"))
+    assert ckpts
+    csv = (tmp_path / "occtest" / "metrics.csv").read_text()
+    assert "occ_fraction" in csv
+    # occupancy checkpoints load for inference (grid rides the opt_state slot)
+    psnr, ssim = score_cli.calculate_scores(
+        str(ckpts[-1]), fixture_scene, rays=256, limit=1
+    )
+    assert np.isfinite(psnr) and psnr > 0
