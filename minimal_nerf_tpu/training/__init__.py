@@ -11,4 +11,8 @@ from minimal_nerf_tpu.training.loop import (  # noqa: F401
     sample_train_batch,
     scene_static,
 )
-from minimal_nerf_tpu.training.trainer import Trainer, load_model_for_inference  # noqa: F401
+from minimal_nerf_tpu.training.trainer import (  # noqa: F401
+    Trainer,
+    load_model_for_inference,
+    load_state_for_inference,
+)

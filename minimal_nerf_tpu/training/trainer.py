@@ -306,7 +306,15 @@ class Trainer:
         # params flow through the cached jitted sweep as an argument, so
         # validation renders compile once per run, not once per validation
         if self._val_render_chunk is None:
-            if self.mode == "full":
+            if self.mode == "full" and self._occ_cfg is not None:
+                # occupancy runs render validation views with the live grid
+                # (threaded through the jitted sweep as part of the state)
+                self._val_render_chunk = views.make_occ_param_render_chunk(
+                    self.nerf_config, self._occ_cfg,
+                    compute_dtype=cfg.compute_dtype,
+                    mlp_apply=self.mlp_apply, render_fn=self.render_fn,
+                )
+            elif self.mode == "full":
                 self._val_render_chunk = views.make_param_render_chunk(
                     self.nerf_config, compute_dtype=cfg.compute_dtype,
                     mlp_apply=self.mlp_apply, render_fn=self.render_fn,
@@ -321,8 +329,14 @@ class Trainer:
                     return out["pred_rgbs"]
 
                 self._val_render_chunk = render_chunk_p
+        state = params
+        if self.mode == "full" and self._occ_cfg is not None:
+            from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+            occ_words = occ_lib.pack_occupancy(self._grid, self._occ_cfg)
+            state = (params, occ_words)
         im = views.view_reconstruction_with_params(
-            self._val_render_chunk, params, o, d, chunk=cfg.num_rays,
+            self._val_render_chunk, state, o, d, chunk=cfg.num_rays,
             key=jax.random.fold_in(self.base_key, 30_000_000 + step),
         )
         self.logger.log_image(f"recon-val{im_idx}", im, step=step)
@@ -368,7 +382,21 @@ def load_model_for_inference(ckpt_path):
     (``render.py:17``, ``score.py:21``) — hyperparams come from the embedded
     header, weights from the saved leaves. Handles both the full hierarchical
     network and coarse-only ``mode="single"`` checkpoints (whose params are a
-    single MLP pytree).
+    single MLP pytree). Use ``load_state_for_inference`` to also get the
+    occupancy grid of an occupancy-accelerated run.
+    """
+    params, nerf_cfg, train_cfg, _ = load_state_for_inference(ckpt_path)
+    return params, nerf_cfg, train_cfg
+
+
+def load_state_for_inference(ckpt_path):
+    """``load_model_for_inference`` + the occupancy-grid EMA (or None).
+
+    Occupancy-trained models should be RENDERED with their grid too: the
+    coarse net trains only where the grid places samples, so uniform-sampled
+    inference is a train/test sampling mismatch (measured at -1.4 dB on the
+    procedural A/B — see PERFORMANCE.md). ``score.py``/``render.py`` use the
+    returned grid automatically.
     """
     header, leaves = ckpt_lib.load_checkpoint(ckpt_path)
     nerf_cfg = NeRFConfig.from_dict(header["nerf_config"])
@@ -387,10 +415,15 @@ def load_model_for_inference(ckpt_path):
     tx = make_optimizer(train_cfg, train_cfg.steps_per_epoch or 100)
     opt_template = tx.init(params_template)
     occ_cfg = train_cfg.occupancy_config
+    grid = None
     if occ_cfg is not None:
         # occupancy runs store the EMA grid inside the opt_state slot
         from minimal_nerf_tpu.ops import occupancy as occ_lib
 
         opt_template = {"opt": opt_template, "occ_ema": occ_lib.init_grid(occ_cfg)}
-    params, _ = ckpt_lib.restore_state(header, leaves, params_template, opt_template)
-    return params, nerf_cfg, train_cfg
+    params, restored_opt = ckpt_lib.restore_state(
+        header, leaves, params_template, opt_template
+    )
+    if occ_cfg is not None:
+        grid = restored_opt["occ_ema"]
+    return params, nerf_cfg, train_cfg, grid

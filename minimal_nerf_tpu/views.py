@@ -111,7 +111,8 @@ def view_reconstruction(
 
 
 def make_param_render_chunk(
-    config: NeRFConfig, compute_dtype=None, mlp_apply=None, render_fn=None
+    config: NeRFConfig, compute_dtype=None, mlp_apply=None, render_fn=None,
+    coarse_sampler=None,
 ) -> Callable:
     """A render_chunk taking ``params`` as an argument.
 
@@ -125,7 +126,33 @@ def make_param_render_chunk(
     def render_chunk_p(params, o, d, key):
         out = render(
             params, config, o, d, key, compute_dtype=compute_dtype,
-            mlp_apply=mlp_apply,
+            mlp_apply=mlp_apply, coarse_sampler=coarse_sampler,
+        )
+        return out["fine_rgb_rays"]
+
+    return render_chunk_p
+
+
+def make_occ_param_render_chunk(
+    config: NeRFConfig, occ_cfg, compute_dtype=None, mlp_apply=None,
+    render_fn=None,
+) -> Callable:
+    """A render_chunk threading ``(params, occ_words)`` as its state argument.
+
+    For occupancy-trained models whose grid CHANGES between views (trainer
+    validation): the packed occupancy words flow through the jitted sweep as
+    an argument alongside params, so the sweep compiles once per run.
+    """
+    from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+    render = render_fn if render_fn is not None else render_rays
+
+    def render_chunk_p(state, o, d, key):
+        params, occ_words = state
+        sampler = occ_lib.make_occupancy_sampler(occ_words, occ_cfg)
+        out = render(
+            params, config, o, d, key, compute_dtype=compute_dtype,
+            mlp_apply=mlp_apply, coarse_sampler=sampler,
         )
         return out["fine_rgb_rays"]
 
@@ -223,18 +250,21 @@ def make_sharded_render_chunk(render_chunk_p: Callable, mesh) -> Callable:
 
 def make_fine_render_chunk(
     params, config: NeRFConfig, compute_dtype=None, mlp_apply=None,
-    render_fn=None,
+    render_fn=None, coarse_sampler=None,
 ) -> Callable:
     """The standard ``render_chunk``: full hierarchical render, fine color out.
 
     ``render_fn`` overrides the render implementation (e.g. the fully-fused
-    Pallas path); default is ``models.nerf.render_rays``.
+    Pallas path); default is ``models.nerf.render_rays``. ``coarse_sampler``
+    overrides coarse sample placement (occupancy-trained checkpoints are
+    rendered with their grid's sampler — see ``trainer.load_state_for_inference``).
     """
     render = render_fn if render_fn is not None else render_rays
 
     def render_chunk(o, d, key):
         out = render(
-            params, config, o, d, key, compute_dtype=compute_dtype, mlp_apply=mlp_apply
+            params, config, o, d, key, compute_dtype=compute_dtype,
+            mlp_apply=mlp_apply, coarse_sampler=coarse_sampler,
         )
         return out["fine_rgb_rays"]
 

@@ -13,13 +13,24 @@ from pathlib import Path
 
 def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
            height: int = 800, width: int = 800, kernel: str = "xla",
-           data_parallel: int = 1) -> Path:
+           data_parallel: int = 1, ignore_occupancy: bool = False) -> Path:
     from minimal_nerf_tpu import views
-    from minimal_nerf_tpu.training.trainer import load_model_for_inference
+    from minimal_nerf_tpu.training.trainer import load_state_for_inference
 
     epoch_idx = ckpt.find("epoch=")
     epoch = ckpt[epoch_idx: epoch_idx + ckpt[epoch_idx:].find("-")]
-    params, nerf_cfg, train_cfg = load_model_for_inference(ckpt)
+    params, nerf_cfg, train_cfg, occ_grid = load_state_for_inference(ckpt)
+    coarse_sampler = None
+    if occ_grid is not None and not ignore_occupancy:
+        # occupancy-trained models render with their grid (see
+        # trainer.load_state_for_inference)
+        import jax.numpy as jnp
+
+        from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+        occ_cfg = train_cfg.occupancy_config
+        occ_words = occ_lib.pack_occupancy(jnp.asarray(occ_grid), occ_cfg)
+        coarse_sampler = occ_lib.make_occupancy_sampler(occ_words, occ_cfg)
     mlp_apply, render_fn = None, None
     if kernel == "auto":
         import jax
@@ -45,6 +56,7 @@ def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
         render_chunk_p = views.make_param_render_chunk(
             nerf_cfg, compute_dtype=train_cfg.compute_dtype,
             mlp_apply=mlp_apply, render_fn=render_fn,
+            coarse_sampler=coarse_sampler,
         )
         sharded_p = views.make_sharded_render_chunk(render_chunk_p, mesh)
 
@@ -54,6 +66,7 @@ def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
         render_chunk = views.make_fine_render_chunk(
             params, nerf_cfg, compute_dtype=train_cfg.compute_dtype,
             mlp_apply=mlp_apply, render_fn=render_fn,
+            coarse_sampler=coarse_sampler,
         )
     save_dir.mkdir(parents=True, exist_ok=True)
     return views.generate_360_view_synthesis(
@@ -78,11 +91,15 @@ def main(argv=None):
                         default="auto")
     parser.add_argument("--data-parallel", type=int, default=1,
                         help="shard each ray chunk over this many devices")
+    parser.add_argument("--ignore-occupancy", action="store_true",
+                        help="render with uniform coarse sampling even if the "
+                             "checkpoint carries an occupancy grid (ablation)")
     args = parser.parse_args(argv)
 
     return render(args.ckpt, args.save_dir, args.rays, args.num_poses,
                   height=args.height, width=args.width, kernel=args.kernel,
-                  data_parallel=args.data_parallel)
+                  data_parallel=args.data_parallel,
+                  ignore_occupancy=args.ignore_occupancy)
 
 
 if __name__ == "__main__":

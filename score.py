@@ -15,7 +15,8 @@ import numpy as np
 
 
 def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
-                     kernel: str = "xla", data_parallel: int = 1):
+                     kernel: str = "xla", data_parallel: int = 1,
+                     ignore_occupancy: bool = False):
     import jax
 
     from minimal_nerf_tpu import views
@@ -24,9 +25,18 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
         peak_signal_noise_ratio,
         structural_similarity,
     )
-    from minimal_nerf_tpu.training.trainer import load_model_for_inference
+    from minimal_nerf_tpu.training.trainer import load_state_for_inference
 
-    params, nerf_cfg, train_cfg = load_model_for_inference(ckpt)
+    params, nerf_cfg, train_cfg, occ_grid = load_state_for_inference(ckpt)
+    coarse_sampler = None
+    if occ_grid is not None and not ignore_occupancy:
+        # occupancy-trained models render with their grid (the coarse net
+        # only trains where the grid samples — see load_state_for_inference)
+        from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+        occ_cfg = train_cfg.occupancy_config
+        occ_words = occ_lib.pack_occupancy(jax.numpy.asarray(occ_grid), occ_cfg)
+        coarse_sampler = occ_lib.make_occupancy_sampler(occ_words, occ_cfg)
     scene = SyntheticScene.load(base_dir, "test")
     mlp_apply, render_fn = None, None
     if kernel == "auto":
@@ -52,6 +62,7 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
         render_chunk_p = views.make_param_render_chunk(
             nerf_cfg, compute_dtype=train_cfg.compute_dtype,
             mlp_apply=mlp_apply, render_fn=render_fn,
+            coarse_sampler=coarse_sampler,
         )
         sharded_p = views.make_sharded_render_chunk(render_chunk_p, mesh)
 
@@ -61,6 +72,7 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
         render_chunk = views.make_fine_render_chunk(
             params, nerf_cfg, compute_dtype=train_cfg.compute_dtype,
             mlp_apply=mlp_apply, render_fn=render_fn,
+            coarse_sampler=coarse_sampler,
         )
 
     n = scene.num_frames if not limit else min(limit, scene.num_frames)
@@ -106,11 +118,15 @@ def main(argv=None):
                         default="auto")
     parser.add_argument("--data-parallel", type=int, default=1,
                         help="shard each ray chunk over this many devices")
+    parser.add_argument("--ignore-occupancy", action="store_true",
+                        help="render with uniform coarse sampling even if the "
+                             "checkpoint carries an occupancy grid (ablation)")
     args = parser.parse_args(argv)
 
     return calculate_scores(args.ckpt, args.base_dir, args.rays,
                             limit=args.limit, kernel=args.kernel,
-                            data_parallel=args.data_parallel)
+                            data_parallel=args.data_parallel,
+                            ignore_occupancy=args.ignore_occupancy)
 
 
 if __name__ == "__main__":

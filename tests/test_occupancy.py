@@ -447,3 +447,36 @@ def test_trainer_occupancy_steps_per_call(fixture_scene, tmp_path):
     )
     params = trainer.fit()
     assert params is not None and trainer._grid is not None
+
+
+def test_score_uses_checkpoint_grid(fixture_scene, tmp_path):
+    """score.py renders occupancy checkpoints with their grid by default.
+
+    The two paths (grid-guided vs --ignore-occupancy uniform sampling) must
+    both produce valid scores; they differ only in coarse sample placement.
+    """
+    import score as score_cli
+
+    from minimal_nerf_tpu.training import Trainer, TrainConfig, load_state_for_inference
+
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(
+        num_rays=64, max_steps=6, cropping_epochs=0, log_every=100,
+        check_val_every_n_epoch=1000, ckpt_every_steps=100, precision="fp32",
+        occupancy=True, occ_resolution=16, occ_update_every=2,
+        occ_warmup_steps=2,
+    )
+    t = Trainer(nerf_cfg, train_cfg, fixture_scene, tmp_path, name="occ-score")
+    t.fit()
+    ckpt = next((tmp_path / "occ-score" / "checkpoints").glob("*.ckpt"))
+
+    _, _, _, grid = load_state_for_inference(ckpt)
+    assert grid is not None and grid.shape == (16, 16, 16)
+
+    psnr_grid, _ = score_cli.calculate_scores(
+        str(ckpt), fixture_scene, rays=256, limit=1
+    )
+    psnr_uni, _ = score_cli.calculate_scores(
+        str(ckpt), fixture_scene, rays=256, limit=1, ignore_occupancy=True
+    )
+    assert np.isfinite(psnr_grid) and np.isfinite(psnr_uni)
