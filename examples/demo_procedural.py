@@ -33,6 +33,8 @@ def main() -> None:
                         choices=["reference", "linterp"])
     parser.add_argument("--occupancy", action="store_true",
                         help="occupancy-grid accelerated coarse sampling")
+    parser.add_argument("--occ-floor", type=float, default=0.25)
+    parser.add_argument("--occ-no-jitter", action="store_true")
     parser.add_argument("--name", default="demo",
                         help="run name under --out (for A/B comparisons)")
     args = parser.parse_args()
@@ -62,7 +64,9 @@ def main() -> None:
         "--fine-sampling", args.fine_sampling,
     ]
     if args.occupancy:
-        argv.append("--occupancy")
+        argv += ["--occupancy", "--occ-floor", str(args.occ_floor)]
+        if args.occ_no_jitter:
+            argv.append("--occ-no-jitter")
     train_nerf.main(argv)
 
     from minimal_nerf_tpu.training import checkpoint as ckpt_lib

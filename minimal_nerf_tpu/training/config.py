@@ -53,6 +53,8 @@ class TrainConfig:
     occ_update_every: int = 16
     occ_warmup_steps: int = 256
     occ_num_bins: int = 64
+    occ_floor: float = 0.25
+    occ_in_bin_jitter: bool = True
 
     @property
     def occupancy_config(self):
@@ -69,6 +71,8 @@ class TrainConfig:
             update_every=self.occ_update_every,
             warmup_steps=self.occ_warmup_steps,
             num_bins=self.occ_num_bins,
+            floor=self.occ_floor,
+            in_bin_jitter=self.occ_in_bin_jitter,
         )
 
     def to_dict(self) -> Dict[str, Any]:

@@ -19,9 +19,13 @@ from minimal_nerf_tpu.ops.occupancy import OccupancyConfig
 
 
 def small_cfg(**kw):
+    # floor=0 / no jitter pin the pure-concentration semantics most tests
+    # exercise; dedicated tests cover the production floor/jitter defaults
     kw.setdefault("resolution", 16)
     kw.setdefault("bound", 3.2)
     kw.setdefault("num_bins", 16)
+    kw.setdefault("floor", 0.0)
+    kw.setdefault("in_bin_jitter", False)
     return OccupancyConfig(**kw)
 
 
@@ -54,7 +58,7 @@ def test_pack_occupancy_force_all():
 
 
 def query_reference(occ_dense, o, d, cfg, num_bins, near, far):
-    """Dense NumPy re-derivation of query_bin_weights."""
+    """Dense NumPy re-derivation of query_bin_weights (incl. floor)."""
     g = cfg.resolution
     width = (far - near) / num_bins
     mids = near + (np.arange(num_bins) + 0.5) * width
@@ -63,7 +67,7 @@ def query_reference(occ_dense, o, d, cfg, num_bins, near, far):
     inb = ((v >= 0) & (v < g)).all(axis=-1)
     vc = np.clip(v, 0, g - 1)
     occ = occ_dense[vc[..., 0], vc[..., 1], vc[..., 2]] & inb
-    w = occ.astype(np.float32)
+    w = np.where(occ, 1.0, np.where(inb, cfg.floor, 0.0)).astype(np.float32)
     empty = w.sum(axis=1) == 0
     w[empty] = 1.0
     return w
@@ -480,3 +484,56 @@ def test_score_uses_checkpoint_grid(fixture_scene, tmp_path):
         str(ckpt), fixture_scene, rays=256, limit=1, ignore_occupancy=True
     )
     assert np.isfinite(psnr_grid) and np.isfinite(psnr_uni)
+
+
+# ------------------------------------------------------------ floor / jitter
+
+
+def test_floor_blends_occupied_and_empty_bins():
+    cfg = small_cfg(floor=0.25)
+    g = cfg.resolution
+    rng = np.random.default_rng(7)
+    ema = rng.uniform(0.0, 0.03, size=(g, g, g)).astype(np.float32)
+    words = occ_lib.pack_occupancy(jnp.asarray(ema), cfg)
+    n = 32
+    o = rng.normal(0, 1.5, size=(n, 3)).astype(np.float32)
+    d = rng.normal(0, 1.0, size=(n, 3)).astype(np.float32)
+    got = np.asarray(
+        occ_lib.query_bin_weights(
+            words, jnp.asarray(o), jnp.asarray(d), cfg, cfg.num_bins, 2.0, 6.0
+        )
+    )
+    want = query_reference(
+        ema > cfg.threshold, o, d, cfg, cfg.num_bins, 2.0, 6.0
+    )
+    np.testing.assert_array_equal(got, want)
+    # floor actually present: some weights strictly between 0/fallback and 1
+    assert ((got == 0.25).sum() > 0) or (got == 1.0).all()
+
+
+def test_in_bin_jitter_keeps_ts_sorted_and_contained():
+    key = jax.random.PRNGKey(9)
+    n, b, s = 16, 16, 32
+    rng = np.random.default_rng(8)
+    weights = (rng.uniform(size=(n, b)) < 0.3).astype(np.float32)
+    weights[weights.sum(axis=1) == 0, 0] = 1.0
+    o = np.zeros((n, 3), np.float32)
+    d = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+    near, far = 2.0, 6.0
+    _, ts = occ_lib.occupancy_coarse_samples(
+        key, jnp.asarray(o), jnp.asarray(d), jnp.asarray(weights), s,
+        near, far, in_bin_jitter=True,
+    )
+    ts = np.asarray(ts)[..., 0]
+    assert (np.diff(ts, axis=1) >= 0).all(), "ts sorted after jitter"
+    width = (far - near) / b
+    bins = np.clip(((ts - near) / width).astype(int), 0, b - 1)
+    occupied = np.take_along_axis(weights, bins.reshape(n, -1), axis=1)
+    assert (occupied > 0).all(), "jittered samples stay in occupied bins"
+    # two different keys give different jitter (diversity, unlike the
+    # deterministic CDF inverse which only varies through the shared eps)
+    _, ts2 = occ_lib.occupancy_coarse_samples(
+        jax.random.PRNGKey(10), jnp.asarray(o), jnp.asarray(d),
+        jnp.asarray(weights), s, near, far, in_bin_jitter=True,
+    )
+    assert not np.array_equal(ts, np.asarray(ts2)[..., 0])

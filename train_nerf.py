@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
                              help="train steps between grid EMA updates")
     full_parser.add_argument("--occ-warmup-steps", type=int, default=256,
                              help="steps with every cell forced occupied")
+    full_parser.add_argument("--occ-floor", type=float, default=0.25,
+                             help="sampling weight of unoccupied in-bounds "
+                                  "bins relative to occupied (1.0)")
+    full_parser.add_argument("--occ-no-jitter", action="store_true",
+                             help="use the deterministic CDF inverse instead "
+                                  "of independent in-bin jitter")
 
     single_parser.add_argument("-b", "--base_dir", type=str, default="./dev_data/",
                                help="directory for dataset")
@@ -162,6 +168,8 @@ def train_full_nerf(args) -> None:
         occ_threshold=args.occ_threshold,
         occ_update_every=args.occ_update_every,
         occ_warmup_steps=args.occ_warmup_steps,
+        occ_floor=args.occ_floor,
+        occ_in_bin_jitter=not args.occ_no_jitter,
     )
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
