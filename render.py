@@ -13,13 +13,23 @@ from pathlib import Path
 
 def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
            height: int = 800, width: int = 800, kernel: str = "xla",
-           data_parallel: int = 1, ignore_occupancy: bool = False) -> Path:
+           data_parallel: int = 1, ignore_occupancy: bool = False,
+           coarse: int = 0, fine: int = 0) -> Path:
+    import dataclasses
+
     from minimal_nerf_tpu import views
     from minimal_nerf_tpu.training.trainer import load_state_for_inference
 
     epoch_idx = ckpt.find("epoch=")
     epoch = ckpt[epoch_idx: epoch_idx + ckpt[epoch_idx:].find("-")]
     params, nerf_cfg, train_cfg, occ_grid = load_state_for_inference(ckpt)
+    if coarse or fine:
+        # inference-time sample-count override (see score.py)
+        nerf_cfg = dataclasses.replace(
+            nerf_cfg,
+            coarse_samples=coarse or nerf_cfg.coarse_samples,
+            fine_samples=fine or nerf_cfg.fine_samples,
+        )
     coarse_sampler = None
     if occ_grid is not None and not ignore_occupancy:
         # occupancy-trained models render with their grid (see
@@ -94,12 +104,17 @@ def main(argv=None):
     parser.add_argument("--ignore-occupancy", action="store_true",
                         help="render with uniform coarse sampling even if the "
                              "checkpoint carries an occupancy grid (ablation)")
+    parser.add_argument("--coarse", type=int, default=0,
+                        help="override coarse samples/ray (0 = checkpoint value)")
+    parser.add_argument("--fine", type=int, default=0,
+                        help="override fine samples/ray (0 = checkpoint value)")
     args = parser.parse_args(argv)
 
     return render(args.ckpt, args.save_dir, args.rays, args.num_poses,
                   height=args.height, width=args.width, kernel=args.kernel,
                   data_parallel=args.data_parallel,
-                  ignore_occupancy=args.ignore_occupancy)
+                  ignore_occupancy=args.ignore_occupancy,
+                  coarse=args.coarse, fine=args.fine)
 
 
 if __name__ == "__main__":

@@ -16,7 +16,10 @@ import numpy as np
 
 def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
                      kernel: str = "xla", data_parallel: int = 1,
-                     ignore_occupancy: bool = False):
+                     ignore_occupancy: bool = False,
+                     coarse: int = 0, fine: int = 0):
+    import dataclasses
+
     import jax
 
     from minimal_nerf_tpu import views
@@ -28,6 +31,15 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
     from minimal_nerf_tpu.training.trainer import load_state_for_inference
 
     params, nerf_cfg, train_cfg, occ_grid = load_state_for_inference(ckpt)
+    if coarse or fine:
+        # inference-time sample-count override: the MLP weights are
+        # independent of the per-ray sample counts (shape-static knobs), so
+        # renders can trade quality for speed without retraining
+        nerf_cfg = dataclasses.replace(
+            nerf_cfg,
+            coarse_samples=coarse or nerf_cfg.coarse_samples,
+            fine_samples=fine or nerf_cfg.fine_samples,
+        )
     coarse_sampler = None
     if occ_grid is not None and not ignore_occupancy:
         # occupancy-trained models render with their grid (the coarse net
@@ -121,12 +133,19 @@ def main(argv=None):
     parser.add_argument("--ignore-occupancy", action="store_true",
                         help="render with uniform coarse sampling even if the "
                              "checkpoint carries an occupancy grid (ablation)")
+    parser.add_argument("--coarse", type=int, default=0,
+                        help="override coarse samples/ray at inference "
+                             "(0 = checkpoint value)")
+    parser.add_argument("--fine", type=int, default=0,
+                        help="override fine samples/ray at inference "
+                             "(0 = checkpoint value)")
     args = parser.parse_args(argv)
 
     return calculate_scores(args.ckpt, args.base_dir, args.rays,
                             limit=args.limit, kernel=args.kernel,
                             data_parallel=args.data_parallel,
-                            ignore_occupancy=args.ignore_occupancy)
+                            ignore_occupancy=args.ignore_occupancy,
+                            coarse=args.coarse, fine=args.fine)
 
 
 if __name__ == "__main__":

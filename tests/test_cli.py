@@ -137,3 +137,17 @@ def test_train_full_cli_occupancy(fixture_scene, tmp_path):
         str(ckpts[-1]), fixture_scene, rays=256, limit=1
     )
     assert np.isfinite(psnr) and psnr > 0
+
+
+def test_score_and_render_sample_count_overrides(trained_run, fixture_scene, tmp_path):
+    """--coarse/--fine inference overrides work without retraining."""
+    root, ckpt = trained_run
+    psnr, ssim = score_cli.calculate_scores(
+        str(ckpt), fixture_scene, rays=256, limit=1, coarse=4, fine=4
+    )
+    assert np.isfinite(psnr) and psnr > 0
+    gif = render_cli.render(
+        str(ckpt), tmp_path, rays=256, num_poses=1, height=32, width=32,
+        coarse=4, fine=4,
+    )
+    assert gif.exists()
