@@ -35,6 +35,13 @@ class TrainConfig:
     # dispatch latency; 1 = plain per-step dispatch). Epoch/val boundaries
     # are respected by falling back to single steps near them.
     steps_per_call: int = 1
+    # Compute kernel the run trains under ("xla" | "pallas" | "fused";
+    # resolved from the CLI's --kernel before construction). Recorded in the
+    # checkpoint so score.py/render.py can default to the SAME kernel: the
+    # weights adapt to their kernel's bf16 numerics, and rendering a
+    # fused-trained model through the XLA path measured several dB lower
+    # PSNR on the procedural A/B (PERFORMANCE.md "kernel consistency").
+    kernel: str = "auto"
     # PRNG implementation for the training key stream. "threefry2x32" is
     # JAX's default (counter-based; lowers to a slow rolled loop on TPU —
     # profiled at ~14ms of a 70ms step); "rbg" uses the hardware-friendly

@@ -24,6 +24,27 @@ from minimal_nerf_tpu.utils import imageio as mio
 DEFAULT_CAM_ANGLE_X = 0.6911112070083618
 
 
+def resolve_inference_kernel(kernel: str, train_cfg=None, backend=None) -> str:
+    """Resolve an inference ``--kernel`` choice to a concrete kernel.
+
+    ``"auto"`` prefers the kernel the checkpoint TRAINED under
+    (``TrainConfig.kernel``, recorded by train_nerf.py): the weights adapt to
+    their kernel's bf16 numerics, and rendering through a different path is a
+    train/test numerics mismatch (a fused-trained model scored through the
+    XLA path measured ~5 dB lower PSNR at 3k steps on the procedural A/B —
+    PERFORMANCE.md "kernel consistency"). Pallas kernels require a TPU
+    backend, so off-TPU ``auto`` always falls back to ``"xla"``.
+    """
+    if kernel != "auto":
+        return kernel
+    if backend is None:
+        backend = jax.default_backend()
+    trained = getattr(train_cfg, "kernel", "auto") if train_cfg is not None else "auto"
+    if backend == "tpu":
+        return trained if trained != "auto" else "fused"
+    return "xla"
+
+
 # jitted full-view sweep cache: keyed by the render_chunk closure object
 # (held in the dict, so its id stays valid) + static shapes. Re-tracing the
 # lax.map per frame costs seconds of host/compile-cache round-trips per view;

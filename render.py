@@ -12,7 +12,7 @@ from pathlib import Path
 
 
 def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
-           height: int = 800, width: int = 800, kernel: str = "xla",
+           height: int = 800, width: int = 800, kernel: str = "auto",
            data_parallel: int = 1, ignore_occupancy: bool = False,
            coarse: int = 0, fine: int = 0) -> Path:
     import dataclasses
@@ -42,10 +42,9 @@ def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
         occ_words = occ_lib.pack_occupancy(jnp.asarray(occ_grid), occ_cfg)
         coarse_sampler = occ_lib.make_occupancy_sampler(occ_words, occ_cfg)
     mlp_apply, render_fn = None, None
-    if kernel == "auto":
-        import jax
-
-        kernel = "fused" if jax.default_backend() == "tpu" else "xla"
+    # "auto" renders through the kernel the checkpoint trained under (the
+    # weights adapt to that kernel's numerics — see resolve_inference_kernel)
+    kernel = views.resolve_inference_kernel(kernel, train_cfg)
     if kernel == "pallas":
         from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
 

@@ -15,7 +15,7 @@ import numpy as np
 
 
 def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
-                     kernel: str = "xla", data_parallel: int = 1,
+                     kernel: str = "auto", data_parallel: int = 1,
                      ignore_occupancy: bool = False,
                      coarse: int = 0, fine: int = 0):
     import dataclasses
@@ -51,8 +51,9 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
         coarse_sampler = occ_lib.make_occupancy_sampler(occ_words, occ_cfg)
     scene = SyntheticScene.load(base_dir, "test")
     mlp_apply, render_fn = None, None
-    if kernel == "auto":
-        kernel = "fused" if jax.default_backend() == "tpu" else "xla"
+    # "auto" renders through the kernel the checkpoint trained under (the
+    # weights adapt to that kernel's numerics — see resolve_inference_kernel)
+    kernel = views.resolve_inference_kernel(kernel, train_cfg)
     if kernel == "pallas":
         from minimal_nerf_tpu.kernels.raymarch import make_pallas_mlp_apply
 

@@ -151,3 +151,37 @@ def test_score_and_render_sample_count_overrides(trained_run, fixture_scene, tmp
         coarse=4, fine=4,
     )
     assert gif.exists()
+
+
+def test_ckpt_records_training_kernel(trained_run):
+    # train_nerf.py resolves --kernel and records it in the checkpoint so
+    # inference can default to the same numerics (kernel consistency)
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+    from minimal_nerf_tpu.training.config import TrainConfig
+
+    _, ckpt = trained_run
+    header, _ = ckpt_lib.load_checkpoint(str(ckpt))
+    cfg = TrainConfig.from_dict(header["train_config"])
+    # CPU test env: auto resolves to xla at train time
+    assert cfg.kernel == "xla"
+
+
+def test_resolve_inference_kernel():
+    from minimal_nerf_tpu.training.config import TrainConfig
+    from minimal_nerf_tpu.views import resolve_inference_kernel
+
+    fused = TrainConfig(kernel="fused")
+    # an explicit kernel choice always wins
+    assert resolve_inference_kernel("pallas", fused, backend="tpu") == "pallas"
+    assert resolve_inference_kernel("xla", fused, backend="tpu") == "xla"
+    # auto prefers the kernel the checkpoint trained under on TPU
+    assert resolve_inference_kernel("auto", fused, backend="tpu") == "fused"
+    assert (
+        resolve_inference_kernel("auto", TrainConfig(kernel="xla"), backend="tpu")
+        == "xla"
+    )
+    # legacy checkpoints without a recorded kernel -> backend default
+    assert resolve_inference_kernel("auto", TrainConfig(), backend="tpu") == "fused"
+    assert resolve_inference_kernel("auto", None, backend="tpu") == "fused"
+    # Pallas kernels need a TPU backend: off-TPU auto is always xla
+    assert resolve_inference_kernel("auto", fused, backend="cpu") == "xla"

@@ -163,6 +163,7 @@ def train_full_nerf(args) -> None:
         precision=args.precision,
         seed=args.seed,
         steps_per_call=args.steps_per_call,
+        kernel=resolve_kernel(args.kernel),
         occupancy=args.occupancy,
         occ_resolution=args.occ_resolution,
         occ_threshold=args.occ_threshold,
@@ -195,6 +196,7 @@ def train_single_nerf(args) -> None:
         precision=args.precision,
         seed=args.seed,
         steps_per_call=args.steps_per_call,
+        kernel=resolve_kernel(args.kernel),
     )
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
