@@ -26,7 +26,9 @@ def main() -> None:
     parser.add_argument("--coarse", type=int, default=32)
     parser.add_argument("--fine", type=int, default=32)
     parser.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
-    parser.add_argument("--kernel", default="xla", choices=["xla", "pallas", "fused"])
+    parser.add_argument("--kernel", default="auto",
+                        choices=["auto", "xla", "pallas", "fused"],
+                        help="auto = fused on TPU, xla elsewhere")
     parser.add_argument("--steps-per-call", type=int, default=1,
                         help="fuse N train steps per dispatch (lax.scan)")
     parser.add_argument("--fine-sampling", default="reference",

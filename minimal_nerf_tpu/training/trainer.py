@@ -394,9 +394,9 @@ def load_state_for_inference(ckpt_path):
 
     Occupancy-trained models should be RENDERED with their grid too: the
     coarse net trains only where the grid places samples, so uniform-sampled
-    inference is a train/test sampling mismatch (measured at -1.4 dB on the
-    procedural A/B — see PERFORMANCE.md). ``score.py``/``render.py`` use the
-    returned grid automatically.
+    inference is a train/test sampling mismatch (measured at -0.5 to -1.8 dB
+    on the procedural A/B — see PERFORMANCE.md). ``score.py``/``render.py``
+    use the returned grid automatically.
     """
     header, leaves = ckpt_lib.load_checkpoint(ckpt_path)
     nerf_cfg = NeRFConfig.from_dict(header["nerf_config"])
