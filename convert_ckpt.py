@@ -1,7 +1,8 @@
-"""Convert a reference pytorch-lightning checkpoint to this framework's format.
+"""Convert checkpoints between the reference's PL format and this framework's.
 
-The reference ships PL checkpoints (``model={name}-epoch={E}-step={S}.ckpt``,
-``.MISSING_LARGE_BLOBS:4-6``) whose ``state_dict`` holds the two MLPs as
+Forward direction (default): the reference ships PL checkpoints
+(``model={name}-epoch={E}-step={S}.ckpt``, ``.MISSING_LARGE_BLOBS:4-6``)
+whose ``state_dict`` holds the two MLPs as
 ``{coarse,fine}_network.{mlp,feature_fn,density_fn,rgb_fn}.{i}.{weight,bias}``
 (module tree at reference ``nerf_model.py:331-360``). This converter maps that
 layout onto our plain-pytree params — transposing every Linear weight from
@@ -9,8 +10,17 @@ torch's ``[out, in]`` to our input-major ``[in, out]`` — and writes a native
 checkpoint usable by ``render.py`` / ``score.py`` for numerical parity
 validation against the reference outputs.
 
+Reverse direction (``--reverse``): exports a native checkpoint as a
+pytorch-lightning-compatible ``.ckpt`` (``state_dict`` +
+``hyper_parameters`` matching reference ``NeRFNetwork.__init__``
+``nerf_model.py:63-64``, plus ``epoch``/``global_step``), so checkpoints
+trained here load back into the reference's tooling via
+``NeRFNetwork.load_from_checkpoint`` (reference ``render.py:17``,
+``score.py:21``).
+
 Usage:
     python convert_ckpt.py -i torch.ckpt -o converted.ckpt
+    python convert_ckpt.py --reverse -i native.ckpt -o pl.ckpt
 """
 
 import argparse
@@ -101,9 +111,85 @@ def convert_checkpoint(in_path: str, out_path: str) -> None:
     print(f"wrote {out_path} (step {step})")
 
 
+def _linear_to_torch(state: Dict[str, Any], prefix: str, leaf: Dict[str, Any]) -> None:
+    import torch
+
+    # np.array copies: jax device arrays export as non-writable numpy views,
+    # which torch.as_tensor would alias (and warn about)
+    state[f"{prefix}.weight"] = torch.as_tensor(
+        np.array(np.asarray(leaf["w"], dtype=np.float32).T, order="C")
+    )
+    state[f"{prefix}.bias"] = torch.as_tensor(
+        np.array(leaf["b"], dtype=np.float32)
+    )
+
+
+def export_mlp_state(state: Dict[str, Any], net_prefix: str,
+                     mlp_params: Dict[str, Any]) -> None:
+    """Map one MLP pytree back onto the reference's torch Sequential indices
+    (inverse of :func:`convert_mlp_state`; reference ``nerf_model.py:331-360``)."""
+    p = net_prefix
+    for i, leaf in zip((0, 2, 4, 6), mlp_params["trunk"]):
+        _linear_to_torch(state, f"{p}.mlp.{i}", leaf)
+    for i, leaf in zip((0, 2, 4), mlp_params["feature"]):
+        _linear_to_torch(state, f"{p}.feature_fn.{i}", leaf)
+    _linear_to_torch(state, f"{p}.density_fn.0", mlp_params["density"])
+    for i, leaf in zip((0, 2), mlp_params["rgb"]):
+        _linear_to_torch(state, f"{p}.rgb_fn.{i}", leaf)
+
+
+def export_checkpoint(in_path: str, out_path: str) -> None:
+    """Native checkpoint -> reference-loadable pytorch-lightning .ckpt."""
+    import torch
+
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+    from minimal_nerf_tpu.training.trainer import load_state_for_inference
+
+    header, _ = ckpt_lib.load_checkpoint(in_path)
+    mode = (header.get("extra") or {}).get("mode", "full")
+    if mode != "full":
+        raise ValueError(
+            f"only full NeRFNetwork checkpoints export to the reference "
+            f"format (got mode={mode!r})"
+        )
+    params, nerf_cfg, train_cfg, _occ = load_state_for_inference(in_path)
+
+    state: Dict[str, Any] = {}
+    export_mlp_state(state, "coarse_network", params["coarse"])
+    export_mlp_state(state, "fine_network", params["fine"])
+
+    step = int(header.get("step", 0))
+    steps_per_epoch = train_cfg.steps_per_epoch or 100
+    payload = {
+        "state_dict": state,
+        # reference NeRFNetwork.__init__ kwargs (nerf_model.py:63-64) — PL
+        # re-instantiates the module from these on load_from_checkpoint
+        "hyper_parameters": {
+            "position_dim": nerf_cfg.position_dim,
+            "direction_dim": nerf_cfg.direction_dim,
+            "coarse_samples": nerf_cfg.coarse_samples,
+            "fine_samples": nerf_cfg.fine_samples,
+            "near": nerf_cfg.near,
+            "far": nerf_cfg.far,
+        },
+        "epoch": step // steps_per_epoch,
+        "global_step": step,
+        # PL refuses ckpts without a version stamp; 1.5.10 = requirements.txt:5
+        "pytorch-lightning_version": "1.5.10",
+        "exported_from": str(in_path),
+    }
+    torch.save(payload, out_path)
+    print(f"wrote {out_path} (PL format, step {step})")
+
+
 if __name__ == "__main__":
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("-i", "--input", required=True, help="torch .ckpt path")
+    parser.add_argument("-i", "--input", required=True, help="input .ckpt path")
     parser.add_argument("-o", "--output", required=True, help="output .ckpt path")
+    parser.add_argument("--reverse", action="store_true",
+                        help="export native -> pytorch-lightning instead")
     args = parser.parse_args()
-    convert_checkpoint(args.input, args.output)
+    if args.reverse:
+        export_checkpoint(args.input, args.output)
+    else:
+        convert_checkpoint(args.input, args.output)

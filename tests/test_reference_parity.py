@@ -382,3 +382,65 @@ def test_short_training_run_lands_at_comparable_loss(ref):
     assert j_end < 0.7 * j0, (j0, j_end)
     # and land in the same neighborhood
     assert abs(t_end - j_end) < 0.35 * max(t_end, j_end), (t_end, j_end)
+
+
+# ------------------------------------------------- reverse ckpt export
+
+
+def test_export_checkpoint_loads_into_reference_model(ref, tmp_path):
+    """Native -> PL export round-trip: the exported state_dict strict-loads
+    into the reference's actual NeRFNetwork, forwards match our MLP, and
+    re-converting recovers the original params bitwise."""
+    import convert_ckpt
+    from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+    from minimal_nerf_tpu.training.config import TrainConfig
+    from minimal_nerf_tpu.training.loop import make_optimizer
+
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig()
+    params = init_nerf_network(jax.random.PRNGKey(7), nerf_cfg)
+    tx = make_optimizer(train_cfg, 100)
+    native = tmp_path / "model=exp-epoch=3-step=345.ckpt"
+    ckpt_lib.save_checkpoint(
+        native, params, tx.init(params), 345,
+        nerf_cfg.to_dict(), train_cfg.to_dict(),
+    )
+
+    pl_path = tmp_path / "exported-pl.ckpt"
+    convert_ckpt.export_checkpoint(str(native), str(pl_path))
+
+    raw = torch.load(pl_path, map_location="cpu", weights_only=False)
+    assert raw["global_step"] == 345
+    assert raw["epoch"] == 3
+    assert raw["hyper_parameters"]["coarse_samples"] == 8
+
+    # strict load into the reference's real module tree — any key or shape
+    # mismatch raises (reference render.py:17 load_from_checkpoint path)
+    net = ref.model.NeRFNetwork(**raw["hyper_parameters"])
+    net.load_state_dict(raw["state_dict"], strict=True)
+
+    # reference forward under the exported weights == our forward
+    rng = np.random.default_rng(11)
+    samples = rng.uniform(-3, 3, (6, 5, 3)).astype(np.float32)
+    direc = rng.normal(size=(6, 3)).astype(np.float32)
+    with torch.no_grad():
+        dens_t, rgb_t = net.fine_network(_t(samples), _t(direc))
+    dens_j, rgb_j = nerf_mlp_apply(
+        params["fine"], jnp.asarray(samples), jnp.asarray(direc),
+        nerf_cfg.position_dim, nerf_cfg.direction_dim,
+    )
+    np.testing.assert_allclose(np.asarray(dens_j), dens_t.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rgb_j), rgb_t.numpy(),
+                               rtol=1e-4, atol=1e-4)
+
+    # full circle: PL ckpt -> native again == original params bitwise
+    back = tmp_path / "roundtrip.ckpt"
+    convert_ckpt.convert_checkpoint(str(pl_path), str(back))
+    header2, _ = ckpt_lib.load_checkpoint(back)
+    from minimal_nerf_tpu.training.trainer import load_state_for_inference
+    params2, _, _, _ = load_state_for_inference(str(back))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
