@@ -7,6 +7,7 @@ embarrassingly parallel, so training shards the ray batch over a 1-D
 and rendering/scoring shards views or ray chunks the same way.
 """
 
+from minimal_nerf_tpu.parallel import distributed  # noqa: F401
 from minimal_nerf_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     make_mesh,

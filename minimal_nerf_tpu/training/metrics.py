@@ -109,3 +109,24 @@ class MetricsLogger:
 
     def elapsed(self) -> float:
         return time.perf_counter() - self._t0
+
+
+class NullLogger:
+    """No-op logger for non-primary processes of a multihost run.
+
+    Every process executes the same training program (the collectives
+    require it), but only process 0 may own the run directory; the rest get
+    this sink (``training/trainer.py``, ``parallel/distributed.py``).
+    """
+
+    def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
+        pass
+
+    def log_hyperparams(self, params: Dict) -> None:
+        pass
+
+    def log_image(self, key, image, step=None):
+        return None
+
+    def elapsed(self) -> float:
+        return 0.0

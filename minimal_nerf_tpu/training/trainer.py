@@ -69,8 +69,17 @@ class Trainer:
         self.mlp_apply = mlp_apply
         self.run_dir = Path(root_dir) / name
         self.ckpt_dir = self.run_dir / "checkpoints"
-        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
-        self.logger = logger or MetricsLogger(self.run_dir, name=name)
+        # in a multi-process (multihost) run every process executes the same
+        # training program (the grad pmean is a cross-host collective), but
+        # only process 0 owns host-side IO: run dir, metrics, images, ckpts
+        self.is_primary = jax.process_index() == 0
+        if self.is_primary:
+            self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+            self.logger = logger or MetricsLogger(self.run_dir, name=name)
+        else:
+            from minimal_nerf_tpu.training.metrics import NullLogger
+
+            self.logger = logger or NullLogger()
         self.resume_ckpt = resume_ckpt
 
         self.train_scene = SyntheticScene.load(base_dir, "train")
@@ -189,14 +198,19 @@ class Trainer:
         grid = self._grid
         arrays = self.train_scene.device_arrays()
         if self.mesh is not None:
-            from minimal_nerf_tpu.parallel.mesh import replicated_sharding
+            from minimal_nerf_tpu.parallel import distributed
 
-            sharding = replicated_sharding(self.mesh)
-            arrays = {k: jax.device_put(v, sharding) for k, v in arrays.items()}
-            params = jax.device_put(params, sharding)
-            opt_state = jax.device_put(opt_state, sharding)
+            arrays = distributed.put_replicated(arrays, self.mesh)
+            params = distributed.put_replicated(params, self.mesh)
+            opt_state = distributed.put_replicated(opt_state, self.mesh)
             if grid is not None:
-                grid = jax.device_put(grid, sharding)
+                grid = distributed.put_replicated(grid, self.mesh)
+            # the base key feeds global-mesh computations; committing it
+            # replicated keeps every input of the step on one device set
+            # (required once the mesh spans multiple processes)
+            self.base_key = distributed.put_replicated_key(
+                self.base_key, self.mesh
+            )
 
         self.logger.log_hyperparams(
             {**self.nerf_config.to_dict(), **cfg.to_dict(), "name": self.name}
@@ -279,6 +293,13 @@ class Trainer:
             return None
         cfg = self.train_config
         arrays = self.val_scene.device_arrays()
+        multiproc = self.mesh is not None and jax.process_count() > 1
+        if multiproc:
+            # validation inputs also feed global-mesh computations; promote
+            # the (identical-per-process) host values to global arrays
+            from minimal_nerf_tpu.parallel import distributed
+
+            arrays = distributed.put_replicated(arrays, self.mesh)
         losses = []
         for idx in range(self.val_scene.num_frames):
             key = jax.random.fold_in(self.base_key, 10_000_000 + step + idx)
@@ -303,6 +324,11 @@ class Trainer:
             )
         )
         o, d = self.val_scene.frame_rays(im_idx)
+        if multiproc:
+            from minimal_nerf_tpu.parallel import distributed
+
+            o = distributed.put_replicated(o, self.mesh)
+            d = distributed.put_replicated(d, self.mesh)
         # params flow through the cached jitted sweep as an argument, so
         # validation renders compile once per run, not once per validation
         if self._val_render_chunk is None:
@@ -356,6 +382,8 @@ class Trainer:
             fut.result()  # raises if the background save failed
 
     def save(self, params, opt_state, step: int, blocking: bool = False):
+        if not self.is_primary:
+            return None
         self._check_pending_save()
         epoch = step // self.steps_per_epoch
         path = self.ckpt_dir / ckpt_lib.checkpoint_name(self.name, epoch, step)

@@ -353,6 +353,7 @@ def test_async_save_failure_surfaces_on_next_save(tmp_path, monkeypatch):
         ckpt_lib, "save_checkpoint_async", lambda *a, **k: pool.submit(boom)
     )
     trainer = Trainer.__new__(Trainer)  # skip dataset loading
+    trainer.is_primary = True
     trainer.steps_per_epoch = 100
     trainer.ckpt_dir = tmp_path
     trainer.name = "t"

@@ -43,7 +43,22 @@ def build_parser() -> argparse.ArgumentParser:
                         help="matmul compute dtype (params always fp32)")
     parser.add_argument("--data-parallel", type=int, default=0,
                         help="shard the ray batch over this many devices "
-                             "(0 = single device)")
+                             "(0 = single device, or all devices with "
+                             "--multihost)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join a multi-process runtime "
+                             "(jax.distributed.initialize) before training; "
+                             "one process per host, mesh spans every host's "
+                             "devices, process 0 owns ckpt/metric writes")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator host:port for --multihost (omit on "
+                             "TPU pods: auto-detected)")
+    parser.add_argument("--num-processes", type=int, default=None,
+                        help="total process count for --multihost (omit on "
+                             "TPU pods)")
+    parser.add_argument("--process-id", type=int, default=None,
+                        help="this process's index for --multihost (omit on "
+                             "TPU pods)")
     parser.add_argument("--kernel", choices=["auto", "xla", "pallas", "fused"],
                         default="auto",
                         help="compute path: plain XLA; 'pallas' = fused MLP "
@@ -52,6 +67,8 @@ def build_parser() -> argparse.ArgumentParser:
                              "on TPU, xla elsewhere")
     parser.add_argument("--steps-per-call", type=int, default=1,
                         help="fuse N train steps per dispatch via lax.scan")
+    parser.add_argument("--log-every", type=int, default=100,
+                        help="steps between metric fetches/CSV rows")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (fail fast on non-finite "
                              "values; disables some optimizations)")
@@ -112,11 +129,17 @@ def build_parser() -> argparse.ArgumentParser:
     return parser
 
 
-def make_mesh_or_none(n: int):
+def make_mesh_or_none(n: int, multihost: bool = False):
     if n and n > 0:
         from minimal_nerf_tpu.parallel import make_mesh
 
         return make_mesh(n)
+    if multihost:
+        # multi-process runs default to a mesh over ALL global devices —
+        # a multihost launch without a mesh would train replicated
+        from minimal_nerf_tpu.parallel import make_mesh
+
+        return make_mesh()
     return None
 
 
@@ -163,6 +186,7 @@ def train_full_nerf(args) -> None:
         precision=args.precision,
         seed=args.seed,
         steps_per_call=args.steps_per_call,
+        log_every=args.log_every,
         kernel=resolve_kernel(args.kernel),
         occupancy=args.occupancy,
         occ_resolution=args.occ_resolution,
@@ -174,7 +198,8 @@ def train_full_nerf(args) -> None:
     )
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
-        resume_ckpt=args.ckpt, mesh=make_mesh_or_none(args.data_parallel),
+        resume_ckpt=args.ckpt,
+        mesh=make_mesh_or_none(args.data_parallel, args.multihost),
         mlp_apply=make_mlp_apply(resolve_kernel(args.kernel)),
         render_fn=make_render_fn(resolve_kernel(args.kernel)),
     )
@@ -196,11 +221,13 @@ def train_single_nerf(args) -> None:
         precision=args.precision,
         seed=args.seed,
         steps_per_call=args.steps_per_call,
+        log_every=args.log_every,
         kernel=resolve_kernel(args.kernel),
     )
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
-        resume_ckpt=args.ckpt, mesh=make_mesh_or_none(args.data_parallel),
+        resume_ckpt=args.ckpt,
+        mesh=make_mesh_or_none(args.data_parallel, args.multihost),
         mlp_apply=make_mlp_apply(resolve_kernel(args.kernel)), mode="single",
     )
     trainer.fit()
@@ -218,6 +245,15 @@ def train_simple_image(args) -> None:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    if getattr(args, "multihost", False):
+        # must run before anything initializes a JAX backend in this process
+        from minimal_nerf_tpu.parallel import distributed
+
+        distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
     if getattr(args, "debug_nans", False):
         import jax
 
