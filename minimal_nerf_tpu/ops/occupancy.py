@@ -313,3 +313,34 @@ def update_grid_ema(
         sigma = density if sigma is None else jnp.maximum(sigma, density)
     sigma = sigma.reshape(g, g, g)
     return jnp.maximum(ema * cfg.decay, sigma)
+
+
+def bake_grid(
+    params: Params,
+    position_dim: int,
+    direction_dim: int,
+    cfg: OccupancyConfig,
+    key: jax.Array,
+    compute_dtype=None,
+    mlp_apply=None,
+    passes: int = 4,
+) -> jnp.ndarray:
+    """Bake an occupancy grid from a TRAINED model (no training history).
+
+    For checkpoints trained with uniform sampling: probes the converged
+    densities at ``passes`` independently-jittered points per cell
+    (max-reduced, no decay) so ANY checkpoint can render with
+    occupancy-concentrated sampling at reduced inference sample counts
+    (``score.py``/``render.py --bake-occupancy``). Multiple jittered passes
+    keep thin structures from slipping between probes.
+    """
+    import dataclasses as _dc
+
+    bake_cfg = _dc.replace(cfg, decay=1.0)  # pure max over passes
+    ema = init_grid(cfg)
+    for i in range(passes):
+        ema = update_grid_ema(
+            ema, params, position_dim, direction_dim, bake_cfg,
+            jax.random.fold_in(key, i), compute_dtype, mlp_apply,
+        )
+    return ema

@@ -14,7 +14,8 @@ from pathlib import Path
 def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
            height: int = 800, width: int = 800, kernel: str = "auto",
            data_parallel: int = 1, ignore_occupancy: bool = False,
-           coarse: int = 0, fine: int = 0) -> Path:
+           coarse: int = 0, fine: int = 0,
+           bake_occupancy: bool = False) -> Path:
     import dataclasses
 
     from minimal_nerf_tpu import views
@@ -31,6 +32,19 @@ def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
             fine_samples=fine or nerf_cfg.fine_samples,
         )
     coarse_sampler = None
+    occ_cfg = train_cfg.occupancy_config
+    if occ_grid is None and bake_occupancy and not ignore_occupancy:
+        # bake a grid from the trained densities (see score.py / bake_grid)
+        import jax
+
+        from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+        occ_cfg = occ_cfg or occ_lib.OccupancyConfig()
+        occ_grid = occ_lib.bake_grid(
+            params, nerf_cfg.position_dim, nerf_cfg.direction_dim,
+            occ_cfg, jax.random.PRNGKey(0),
+            compute_dtype=train_cfg.compute_dtype,
+        )
     if occ_grid is not None and not ignore_occupancy:
         # occupancy-trained models render with their grid (see
         # trainer.load_state_for_inference)
@@ -38,7 +52,6 @@ def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
 
         from minimal_nerf_tpu.ops import occupancy as occ_lib
 
-        occ_cfg = train_cfg.occupancy_config
         occ_words = occ_lib.pack_occupancy(jnp.asarray(occ_grid), occ_cfg)
         coarse_sampler = occ_lib.make_occupancy_sampler(occ_words, occ_cfg)
     mlp_apply, render_fn = None, None
@@ -103,6 +116,9 @@ def main(argv=None):
     parser.add_argument("--ignore-occupancy", action="store_true",
                         help="render with uniform coarse sampling even if the "
                              "checkpoint carries an occupancy grid (ablation)")
+    parser.add_argument("--bake-occupancy", action="store_true",
+                        help="bake an occupancy grid from the trained "
+                             "densities when the checkpoint has none")
     parser.add_argument("--coarse", type=int, default=0,
                         help="override coarse samples/ray (0 = checkpoint value)")
     parser.add_argument("--fine", type=int, default=0,
@@ -113,7 +129,8 @@ def main(argv=None):
                   height=args.height, width=args.width, kernel=args.kernel,
                   data_parallel=args.data_parallel,
                   ignore_occupancy=args.ignore_occupancy,
-                  coarse=args.coarse, fine=args.fine)
+                  coarse=args.coarse, fine=args.fine,
+                  bake_occupancy=args.bake_occupancy)
 
 
 if __name__ == "__main__":

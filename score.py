@@ -17,7 +17,8 @@ import numpy as np
 def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
                      kernel: str = "auto", data_parallel: int = 1,
                      ignore_occupancy: bool = False,
-                     coarse: int = 0, fine: int = 0):
+                     coarse: int = 0, fine: int = 0,
+                     bake_occupancy: bool = False):
     import dataclasses
 
     import jax
@@ -41,12 +42,24 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
             fine_samples=fine or nerf_cfg.fine_samples,
         )
     coarse_sampler = None
+    occ_cfg = train_cfg.occupancy_config
+    if occ_grid is None and bake_occupancy and not ignore_occupancy:
+        # bake a grid from the trained densities so uniform-trained
+        # checkpoints can also render with concentrated sampling at reduced
+        # --coarse/--fine counts (ops/occupancy.py:bake_grid)
+        from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+        occ_cfg = occ_cfg or occ_lib.OccupancyConfig()
+        occ_grid = occ_lib.bake_grid(
+            params, nerf_cfg.position_dim, nerf_cfg.direction_dim,
+            occ_cfg, jax.random.PRNGKey(0),
+            compute_dtype=train_cfg.compute_dtype,
+        )
     if occ_grid is not None and not ignore_occupancy:
         # occupancy-trained models render with their grid (the coarse net
         # only trains where the grid samples — see load_state_for_inference)
         from minimal_nerf_tpu.ops import occupancy as occ_lib
 
-        occ_cfg = train_cfg.occupancy_config
         occ_words = occ_lib.pack_occupancy(jax.numpy.asarray(occ_grid), occ_cfg)
         coarse_sampler = occ_lib.make_occupancy_sampler(occ_words, occ_cfg)
     scene = SyntheticScene.load(base_dir, "test")
@@ -134,6 +147,11 @@ def main(argv=None):
     parser.add_argument("--ignore-occupancy", action="store_true",
                         help="render with uniform coarse sampling even if the "
                              "checkpoint carries an occupancy grid (ablation)")
+    parser.add_argument("--bake-occupancy", action="store_true",
+                        help="bake an occupancy grid from the trained "
+                             "densities when the checkpoint has none, so "
+                             "--coarse/--fine can be reduced with "
+                             "concentrated sampling")
     parser.add_argument("--coarse", type=int, default=0,
                         help="override coarse samples/ray at inference "
                              "(0 = checkpoint value)")
@@ -146,7 +164,8 @@ def main(argv=None):
                             limit=args.limit, kernel=args.kernel,
                             data_parallel=args.data_parallel,
                             ignore_occupancy=args.ignore_occupancy,
-                            coarse=args.coarse, fine=args.fine)
+                            coarse=args.coarse, fine=args.fine,
+                            bake_occupancy=args.bake_occupancy)
 
 
 if __name__ == "__main__":

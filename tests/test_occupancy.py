@@ -537,3 +537,50 @@ def test_in_bin_jitter_keeps_ts_sorted_and_contained():
         jnp.asarray(weights), s, near, far, in_bin_jitter=True,
     )
     assert not np.array_equal(ts, np.asarray(ts2)[..., 0])
+
+
+# ------------------------------------------------------------------- baking
+
+
+def test_bake_grid_marks_dense_cells_and_is_decay_free():
+    cfg = small_cfg()
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    baked = occ_lib.bake_grid(
+        params, nerf_cfg.position_dim, nerf_cfg.direction_dim, cfg,
+        jax.random.PRNGKey(3), passes=2,
+    )
+    assert baked.shape == (16, 16, 16)
+    b = np.asarray(baked)
+    assert (b >= 0).all()
+    # pure max over jittered passes: every pass can only raise a cell, so a
+    # single-pass bake is a lower bound on the two-pass bake
+    one = np.asarray(
+        occ_lib.bake_grid(
+            params, nerf_cfg.position_dim, nerf_cfg.direction_dim, cfg,
+            jax.random.PRNGKey(3), passes=1,
+        )
+    )
+    assert (b >= one - 1e-6).all()
+
+
+def test_score_bake_occupancy_on_uniform_checkpoint(fixture_scene, tmp_path):
+    """--bake-occupancy builds a grid for checkpoints trained WITHOUT one."""
+    import score as score_cli
+
+    from minimal_nerf_tpu.training import Trainer, TrainConfig
+
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(
+        num_rays=64, max_steps=4, cropping_epochs=0, log_every=100,
+        check_val_every_n_epoch=1000, ckpt_every_steps=100, precision="fp32",
+    )
+    t = Trainer(nerf_cfg, train_cfg, fixture_scene, tmp_path, name="bake")
+    t.fit()
+    ckpt = next((tmp_path / "bake" / "checkpoints").glob("*.ckpt"))
+
+    psnr, ssim = score_cli.calculate_scores(
+        str(ckpt), fixture_scene, rays=256, limit=1, bake_occupancy=True,
+        coarse=4, fine=4,
+    )
+    assert np.isfinite(psnr) and psnr > 0
