@@ -57,6 +57,7 @@ class Trainer:
         render_fn=None,
         logger: Optional[MetricsLogger] = None,
         mode: str = "full",
+        wandb_project: Optional[str] = None,
     ):
         assert mode in ("full", "single"), mode
         self.mode = mode
@@ -75,7 +76,9 @@ class Trainer:
         self.is_primary = jax.process_index() == 0
         if self.is_primary:
             self.ckpt_dir.mkdir(parents=True, exist_ok=True)
-            self.logger = logger or MetricsLogger(self.run_dir, name=name)
+            self.logger = logger or MetricsLogger(
+                self.run_dir, name=name, wandb_project=wandb_project
+            )
         else:
             from minimal_nerf_tpu.training.metrics import NullLogger
 

@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="fuse N train steps per dispatch via lax.scan")
     parser.add_argument("--log-every", type=int, default=100,
                         help="steps between metric fetches/CSV rows")
+    parser.add_argument("--wandb", type=str, default=None, metavar="PROJECT",
+                        help="mirror scalars/images to this Weights & Biases "
+                             "project (the reference always logs to "
+                             "project 'NeRF', train_nerf.py:23); CSV/PNG "
+                             "logging stays on either way")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax_debug_nans (fail fast on non-finite "
                              "values; disables some optimizations)")
@@ -202,6 +207,7 @@ def train_full_nerf(args) -> None:
         mesh=make_mesh_or_none(args.data_parallel, args.multihost),
         mlp_apply=make_mlp_apply(resolve_kernel(args.kernel)),
         render_fn=make_render_fn(resolve_kernel(args.kernel)),
+        wandb_project=args.wandb,
     )
     trainer.fit()
 
@@ -229,6 +235,7 @@ def train_single_nerf(args) -> None:
         resume_ckpt=args.ckpt,
         mesh=make_mesh_or_none(args.data_parallel, args.multihost),
         mlp_apply=make_mlp_apply(resolve_kernel(args.kernel)), mode="single",
+        wandb_project=args.wandb,
     )
     trainer.fit()
 
