@@ -289,7 +289,11 @@ def update_grid_ema(
     apply_fn = mlp_apply if mlp_apply is not None else nerf_mlp_apply
     g = cfg.resolution
     total = g**3
-    assert total % eval_rows == 0, (g, eval_rows)
+    while total % eval_rows:
+        # any resolution OccupancyConfig accepts (G^3 % 32 == 0) admits an
+        # eval_rows of at least 32; halve from the preferred width until it
+        # divides (e.g. G=20 -> 8000 points -> rows of 64)
+        eval_rows //= 2
     cell = 2.0 * cfg.bound / g
 
     centers_1d = -cfg.bound + (jnp.arange(g, dtype=jnp.float32) + 0.5) * cell

@@ -417,20 +417,35 @@ def make_train_step(
 
 def make_eval_step(
     nerf_cfg: NeRFConfig, train_cfg: TrainConfig, mesh=None, mlp_apply=None,
-    render_fn=None,
+    render_fn=None, occupancy_cfg=None,
 ) -> Callable:
-    """Jitted validation step over a pre-sampled ray batch: the three val losses."""
+    """Jitted validation step over a pre-sampled ray batch: the three val losses.
+
+    With ``occupancy_cfg`` the step takes the packed grid words as a trailing
+    argument and evaluates through the SAME occupancy-guided coarse sampler
+    training uses — uniform-sampled validation of an occupancy-trained model
+    is a train/val sampling mismatch (measured at -0.5 to -1.8 dB on renders)
+    that would make the logged val curves systematically pessimistic.
+    """
     compute_dtype = train_cfg.compute_dtype
     render = render_fn if render_fn is not None else render_rays
 
-    def eval_fn(params, origin, direc, rgb, key):
+    def eval_fn(params, origin, direc, rgb, key, *ctx):
         if mesh is not None:
             origin = pmesh.shard_batch(origin, mesh)
             direc = pmesh.shard_batch(direc, mesh)
             rgb = pmesh.shard_batch(rgb, mesh)
+        coarse_sampler = None
+        if occupancy_cfg is not None:
+            from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+            coarse_sampler = occ_lib.make_occupancy_sampler(
+                ctx[0], occupancy_cfg
+            )
         out = render(
             params, nerf_cfg, origin, direc, key,
             compute_dtype=compute_dtype, mlp_apply=mlp_apply,
+            coarse_sampler=coarse_sampler,
         )
         coarse_loss = jnp.mean((out["coarse_rgb_rays"] - rgb) ** 2)
         fine_loss = jnp.mean((out["fine_rgb_rays"] - rgb) ** 2)

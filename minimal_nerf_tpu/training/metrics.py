@@ -29,7 +29,7 @@ class MetricsLogger:
     """
 
     def __init__(self, run_dir, name: str = "run", echo: bool = True,
-                 wandb_project: Optional[str] = None):
+                 wandb_project: Optional[str] = None, resume: bool = True):
         self.run_dir = Path(run_dir)
         self.run_dir.mkdir(parents=True, exist_ok=True)
         (self.run_dir / "images").mkdir(exist_ok=True)
@@ -39,22 +39,30 @@ class MetricsLogger:
         self._fieldnames = ["step"]
         self._rows = []
         if self.csv_path.exists():
-            # resumed run: adopt the existing history so appends extend it
-            # instead of a fresh logger clobbering it at the first rewrite
-            with open(self.csv_path, newline="") as f:
-                reader = csv.DictReader(f)
-                if reader.fieldnames:
-                    self._fieldnames = list(reader.fieldnames)
-                    self._rows = list(reader)
+            if resume:
+                # resumed run: adopt the existing history so appends extend
+                # it instead of a fresh logger clobbering it
+                with open(self.csv_path, newline="") as f:
+                    reader = csv.DictReader(f)
+                    if reader.fieldnames:
+                        self._fieldnames = list(reader.fieldnames)
+                        self._rows = list(reader)
+            else:
+                # fresh run reusing a name: start a clean history rather
+                # than interleaving two unrelated runs in one CSV
+                self.csv_path.unlink()
         self._t0 = time.perf_counter()
         self._wandb = None
         if wandb_project:
+            # degrade to CSV-only on ANY init failure (missing package, no
+            # network, no credentials, ...) — logging must not kill training
             try:
                 import wandb
 
                 self._wandb = wandb.init(project=wandb_project, name=name)
-            except ImportError:
-                print("[metrics] wandb not installed; CSV-only", file=sys.stderr)
+            except Exception as e:  # pragma: no cover - env dependent
+                print(f"[metrics] wandb disabled ({e!r}); CSV-only",
+                      file=sys.stderr)
 
     def log_scalars(self, step: int, scalars: Dict[str, float]) -> None:
         row = {"step": int(step)}

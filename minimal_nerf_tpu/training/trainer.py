@@ -77,7 +77,10 @@ class Trainer:
         if self.is_primary:
             self.ckpt_dir.mkdir(parents=True, exist_ok=True)
             self.logger = logger or MetricsLogger(
-                self.run_dir, name=name, wandb_project=wandb_project
+                self.run_dir, name=name, wandb_project=wandb_project,
+                # adopt an existing metrics.csv only when actually resuming;
+                # a fresh run reusing a name starts a clean history
+                resume=resume_ckpt is not None,
             )
         else:
             from minimal_nerf_tpu.training.metrics import NullLogger
@@ -123,7 +126,8 @@ class Trainer:
             )
         self.eval_fn = (
             make_eval_step(nerf_config, train_config, mesh=mesh,
-                           mlp_apply=mlp_apply, render_fn=render_fn)
+                           mlp_apply=mlp_apply, render_fn=render_fn,
+                           occupancy_cfg=self._occ_cfg)
             if mode == "full"
             else self._make_single_eval()
         )
@@ -198,6 +202,23 @@ class Trainer:
         """Run training to ``max_steps``. Returns the final params."""
         cfg = self.train_config
         params, opt_state, start_step = self.init_state()
+        if jax.process_count() > 1:
+            # resume reads each process's LOCAL filesystem; if only some
+            # hosts see the checkpoint the processes would silently train
+            # from different states (and eventually deadlock a collective)
+            from jax.experimental import multihost_utils
+
+            steps = np.asarray(
+                multihost_utils.process_allgather(np.int64(start_step))
+            ).ravel()
+            if len({int(s) for s in steps}) != 1:
+                raise RuntimeError(
+                    f"multihost resume mismatch: processes restored "
+                    f"different steps {sorted({int(s) for s in steps})}; "
+                    "make the checkpoint path readable on every host "
+                    "(shared filesystem) or pass an explicit --ckpt that "
+                    "exists everywhere"
+                )
         grid = self._grid
         arrays = self.train_scene.device_arrays()
         if self.mesh is not None:
@@ -295,14 +316,26 @@ class Trainer:
         if self.val_scene is None:
             return None
         cfg = self.train_config
-        arrays = self.val_scene.device_arrays()
         multiproc = self.mesh is not None and jax.process_count() > 1
-        if multiproc:
-            # validation inputs also feed global-mesh computations; promote
-            # the (identical-per-process) host values to global arrays
-            from minimal_nerf_tpu.parallel import distributed
+        arrays = getattr(self, "_val_arrays", None)
+        if arrays is None:
+            # pack+upload the (immutable) val split once, not per validation
+            arrays = self.val_scene.device_arrays()
+            if multiproc:
+                # validation inputs also feed global-mesh computations;
+                # promote the (identical-per-process) values to global arrays
+                from minimal_nerf_tpu.parallel import distributed
 
-            arrays = distributed.put_replicated(arrays, self.mesh)
+                arrays = distributed.put_replicated(arrays, self.mesh)
+            self._val_arrays = arrays
+        occ_ctx = ()
+        if self.mode == "full" and self._occ_cfg is not None:
+            # evaluate through the SAME grid-guided sampler training uses
+            # (uniform val of an occupancy-trained model is a sampling
+            # mismatch); the packed words also feed the val render below
+            from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+            occ_ctx = (occ_lib.pack_occupancy(self._grid, self._occ_cfg),)
         losses = []
         for idx in range(self.val_scene.num_frames):
             key = jax.random.fold_in(self.base_key, 10_000_000 + step + idx)
@@ -311,7 +344,7 @@ class Trainer:
             )
             m = self.eval_fn(
                 params, batch["origin"], batch["direc"], batch["rgb"],
-                jax.random.fold_in(key, 1),
+                jax.random.fold_in(key, 1), *occ_ctx,
             )
             losses.append(jax.device_get(m))
         mean = {
@@ -358,12 +391,7 @@ class Trainer:
                     return out["pred_rgbs"]
 
                 self._val_render_chunk = render_chunk_p
-        state = params
-        if self.mode == "full" and self._occ_cfg is not None:
-            from minimal_nerf_tpu.ops import occupancy as occ_lib
-
-            occ_words = occ_lib.pack_occupancy(self._grid, self._occ_cfg)
-            state = (params, occ_words)
+        state = (params, occ_ctx[0]) if occ_ctx else params
         im = views.view_reconstruction_with_params(
             self._val_render_chunk, state, o, d, chunk=cfg.num_rays,
             key=jax.random.fold_in(self.base_key, 30_000_000 + step),

@@ -584,3 +584,66 @@ def test_score_bake_occupancy_on_uniform_checkpoint(fixture_scene, tmp_path):
         coarse=4, fine=4,
     )
     assert np.isfinite(psnr) and psnr > 0
+
+
+def test_update_grid_ema_non_pow2_resolution():
+    # G=20: 8000 cells passes OccupancyConfig (8000 % 32 == 0) but is not
+    # divisible by the preferred 512 eval rows — eval_rows must adapt
+    cfg = occ_lib.OccupancyConfig(resolution=20)
+    nerf_cfg = NeRFConfig(coarse_samples=4, fine_samples=4)
+    params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    ema = occ_lib.update_grid_ema(
+        jnp.zeros((20, 20, 20)), params, nerf_cfg.position_dim,
+        nerf_cfg.direction_dim, cfg, jax.random.PRNGKey(1),
+    )
+    assert ema.shape == (20, 20, 20)
+    assert np.isfinite(np.asarray(ema)).all()
+
+
+def test_eval_step_uses_occupancy_sampler():
+    from minimal_nerf_tpu.training.config import TrainConfig
+    from minimal_nerf_tpu.training.loop import make_eval_step
+
+    cfg = small_cfg()
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(precision="fp32")
+    params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    eval_occ = make_eval_step(nerf_cfg, train_cfg, occupancy_cfg=cfg)
+    eval_uni = make_eval_step(nerf_cfg, train_cfg)
+
+    rng = np.random.default_rng(0)
+    o = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(size=(16, 3)).astype(np.float32))
+    rgb = jnp.asarray(rng.random((16, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(2)
+
+    # a half-occupied grid: losses must be finite and (generically) differ
+    # from the uniform-sampled losses because coarse samples move
+    ema = jnp.zeros((16, 16, 16)).at[:8].set(1.0)
+    words = occ_lib.pack_occupancy(ema, cfg)
+    m_occ = eval_occ(params, o, d, rgb, key, words)
+    m_uni = eval_uni(params, o, d, rgb, key)
+    assert np.isfinite(float(m_occ["val_loss"]))
+    assert np.isfinite(float(m_uni["val_loss"]))
+    assert float(m_occ["val_loss"]) != float(m_uni["val_loss"])
+
+
+def test_bake_occupancy_rejects_single_mode_ckpt(tmp_path):
+    from minimal_nerf_tpu.inference import build_render_chunk
+    from minimal_nerf_tpu.models.mlp import init_nerf_mlp
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+    from minimal_nerf_tpu.training.config import TrainConfig
+    from minimal_nerf_tpu.training.loop import make_optimizer
+
+    params = init_nerf_mlp(jax.random.PRNGKey(0), 10, 4)
+    train_cfg = TrainConfig()
+    tx = make_optimizer(train_cfg, 100)
+    path = tmp_path / "model=s-epoch=0-step=1.ckpt"
+    ckpt_lib.save_checkpoint(
+        path, params, tx.init(params), 1,
+        NeRFConfig().to_dict(), train_cfg.to_dict(), extra={"mode": "single"},
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="single"):
+        build_render_chunk(str(path), 64, bake_occupancy=True)

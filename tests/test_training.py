@@ -420,3 +420,25 @@ def test_metrics_logger_mirrors_to_fake_wandb(tmp_path, monkeypatch):
     assert scalar_calls == [({"train_loss": 0.5}, 5)]
     assert len(image_calls) == 1 and image_calls[0][1] == 5
     assert image_calls[0][0]["recon"][0].caption == "recon-val0"
+
+
+def test_metrics_logger_fresh_run_truncates_stale_csv(tmp_path):
+    from minimal_nerf_tpu.training.metrics import MetricsLogger
+
+    old = MetricsLogger(tmp_path, echo=False)
+    old.log_scalars(1, {"train_loss": 1.0})
+    old.log_scalars(2, {"train_loss": 0.5})
+
+    fresh = MetricsLogger(tmp_path, echo=False, resume=False)
+    fresh.log_scalars(1, {"train_loss": 9.0})
+    import csv as _csv
+
+    with open(tmp_path / "metrics.csv", newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert len(rows) == 1 and float(rows[0]["train_loss"]) == 9.0
+
+    resumed = MetricsLogger(tmp_path, echo=False, resume=True)
+    resumed.log_scalars(2, {"train_loss": 8.0})
+    with open(tmp_path / "metrics.csv", newline="") as f:
+        rows = list(_csv.DictReader(f))
+    assert [int(r["step"]) for r in rows] == [1, 2]
