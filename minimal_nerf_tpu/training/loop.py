@@ -315,6 +315,78 @@ def make_sharded_grad_fn(
     )
 
 
+def _build_step_runner(
+    nerf_cfg: NeRFConfig,
+    train_cfg: TrainConfig,
+    static: SceneStatic,
+    mesh,
+    mlp_apply,
+    loss_fn: Callable,
+    occupancy_cfg,
+):
+    """The ONE implementation of a train step's body.
+
+    ``make_train_step`` (per-step dispatch) and ``make_multi_step``
+    (``lax.scan``-fused) both wrap the returned ``run_step``; keeping a
+    single copy prevents the kind of silent drift between the variants that
+    caused the round-1 epoch-shuffle bug.
+
+    Returns:
+        ``(run_step, tx, lr_sched, compute_dtype)`` where
+        ``run_step(params, opt_state, images, poses, step, base_key, ctx=())
+        -> (params, opt_state, metrics)`` — metrics WITHOUT the ``lr`` entry
+        (callers add it; the scan path adds it once after the scan).
+    """
+    steps_per_epoch = train_cfg.steps_per_epoch or static.num_frames
+    tx = make_optimizer(train_cfg, steps_per_epoch)
+    compute_dtype = train_cfg.compute_dtype
+    lr_sched = make_lr_schedule(train_cfg, steps_per_epoch)
+    grad_loss = (
+        make_occupancy_loss(occupancy_cfg, base_loss_fn=loss_fn)
+        if occupancy_cfg is not None
+        else loss_fn
+    )
+    sharded_grad = (
+        make_sharded_grad_fn(
+            grad_loss, nerf_cfg, mesh, compute_dtype, mlp_apply,
+            num_ctx=1 if occupancy_cfg is not None else 0,
+        )
+        if mesh is not None
+        else None
+    )
+
+    def run_step(params, opt_state, images, poses, step, base_key, ctx=()):
+        key = jax.random.fold_in(base_key, step)
+        k_batch, k_render = jax.random.split(key)
+        batch = sample_train_batch(
+            k_batch, step, images, poses, static,
+            train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
+            base_key,
+        )
+        if mesh is not None:
+            batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
+            (_, metrics), grads = sharded_grad(
+                params, batch["origin"], batch["direc"], batch["rgb"],
+                k_render, *ctx,
+            )
+        else:
+            # fold_in(0) mirrors the sharded path's per-shard key derivation,
+            # so a 1-device mesh is bitwise-identical to no mesh
+            (_, metrics), grads = jax.value_and_grad(grad_loss, has_aux=True)(
+                params, nerf_cfg, batch["origin"], batch["direc"], batch["rgb"],
+                jax.random.fold_in(k_render, 0), compute_dtype, mlp_apply,
+                *ctx,
+            )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = finalize_metrics(
+            metrics, grads, mesh.size if mesh is not None else 1
+        )
+        return params, opt_state, metrics
+
+    return run_step, tx, lr_sched, compute_dtype
+
+
 def make_train_step(
     nerf_cfg: NeRFConfig,
     train_cfg: TrainConfig,
@@ -341,75 +413,29 @@ def make_train_step(
         ``step_fn(params, opt_state, grid, images, poses, step, base_key) ->
         (params, opt_state, grid, metrics)``.
     """
-    steps_per_epoch = train_cfg.steps_per_epoch or static.num_frames
-    tx = make_optimizer(train_cfg, steps_per_epoch)
-    compute_dtype = train_cfg.compute_dtype
-    lr_sched = make_lr_schedule(train_cfg, steps_per_epoch)
-    grad_loss = (
-        make_occupancy_loss(occupancy_cfg, base_loss_fn=loss_fn)
-        if occupancy_cfg is not None
-        else loss_fn
+    run_step, tx, lr_sched, compute_dtype = _build_step_runner(
+        nerf_cfg, train_cfg, static, mesh, mlp_apply, loss_fn, occupancy_cfg
     )
-    sharded_grad = (
-        make_sharded_grad_fn(
-            grad_loss, nerf_cfg, mesh, compute_dtype, mlp_apply,
-            num_ctx=1 if occupancy_cfg is not None else 0,
-        )
-        if mesh is not None
-        else None
-    )
-
-    def step_core(params, opt_state, batch, k_render, step, ctx=()):
-        if mesh is not None:
-            batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
-            (loss, metrics), grads = sharded_grad(
-                params, batch["origin"], batch["direc"], batch["rgb"],
-                k_render, *ctx,
-            )
-        else:
-            # fold_in(0) mirrors the sharded path's per-shard key derivation,
-            # so a 1-device mesh is bitwise-identical to no mesh
-            (loss, metrics), grads = jax.value_and_grad(grad_loss, has_aux=True)(
-                params, nerf_cfg, batch["origin"], batch["direc"], batch["rgb"],
-                jax.random.fold_in(k_render, 0), compute_dtype, mlp_apply, *ctx,
-            )
-        updates, new_opt_state = tx.update(grads, opt_state, params)
-        new_params = optax.apply_updates(params, updates)
-        metrics = finalize_metrics(
-            metrics, grads, mesh.size if mesh is not None else 1
-        )
-        metrics = dict(metrics, lr=lr_sched(step))
-        return new_params, new_opt_state, metrics
 
     if occupancy_cfg is None:
 
         def step_fn(params, opt_state, images, poses, step, base_key):
-            key = jax.random.fold_in(base_key, step)
-            k_batch, k_render = jax.random.split(key)
-            batch = sample_train_batch(
-                k_batch, step, images, poses, static,
-                train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
-                base_key,
+            params, opt_state, metrics = run_step(
+                params, opt_state, images, poses, step, base_key
             )
-            return step_core(params, opt_state, batch, k_render, step)
+            return params, opt_state, dict(metrics, lr=lr_sched(step))
 
         return jax.jit(step_fn, donate_argnums=(0, 1)), tx
 
     def occ_step_fn(params, opt_state, grid, images, poses, step, base_key):
         key = jax.random.fold_in(base_key, step)
-        k_batch, k_render = jax.random.split(key)
-        batch = sample_train_batch(
-            k_batch, step, images, poses, static,
-            train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
-            base_key,
-        )
         grid, occ_words, occ_fraction = _occ_step_context(
             occupancy_cfg, nerf_cfg, compute_dtype, params, grid, step, key
         )
-        params, opt_state, metrics = step_core(
-            params, opt_state, batch, k_render, step, ctx=(occ_words,)
+        params, opt_state, metrics = run_step(
+            params, opt_state, images, poses, step, base_key, ctx=(occ_words,)
         )
-        metrics = dict(metrics, occ_fraction=occ_fraction)
+        metrics = dict(metrics, lr=lr_sched(step), occ_fraction=occ_fraction)
         return params, opt_state, grid, metrics
 
     return jax.jit(occ_step_fn, donate_argnums=(0, 1, 2)), tx
@@ -480,61 +506,19 @@ def make_multi_step(
         poses, start_step, base_key) -> (params, opt_state, last_metrics)``.
         With ``occupancy_cfg`` the grid is threaded as in ``make_train_step``.
     """
-    steps_per_epoch = train_cfg.steps_per_epoch or static.num_frames
-    tx = make_optimizer(train_cfg, steps_per_epoch)
-    compute_dtype = train_cfg.compute_dtype
-    lr_sched = make_lr_schedule(train_cfg, steps_per_epoch)
-    grad_loss = (
-        make_occupancy_loss(occupancy_cfg, base_loss_fn=loss_fn)
-        if occupancy_cfg is not None
-        else loss_fn
+    run_step, tx, lr_sched, compute_dtype = _build_step_runner(
+        nerf_cfg, train_cfg, static, mesh, mlp_apply, loss_fn, occupancy_cfg
     )
-    sharded_grad = (
-        make_sharded_grad_fn(
-            grad_loss, nerf_cfg, mesh, compute_dtype, mlp_apply,
-            num_ctx=1 if occupancy_cfg is not None else 0,
-        )
-        if mesh is not None
-        else None
-    )
-
-    def inner_step(params, opt_state, images, poses, step, base_key, ctx=()):
-        key = jax.random.fold_in(base_key, step)
-        k_batch, k_render = jax.random.split(key)
-        batch = sample_train_batch(
-            k_batch, step, images, poses, static,
-            train_cfg.num_rays, steps_per_epoch, train_cfg.cropping_epochs,
-            base_key,
-        )
-        if mesh is not None:
-            batch = {k: pmesh.shard_batch(v, mesh) for k, v in batch.items()}
-            (_, metrics), grads = sharded_grad(
-                params, batch["origin"], batch["direc"], batch["rgb"],
-                k_render, *ctx,
-            )
-        else:
-            (_, metrics), grads = jax.value_and_grad(grad_loss, has_aux=True)(
-                params, nerf_cfg,
-                batch["origin"], batch["direc"], batch["rgb"],
-                jax.random.fold_in(k_render, 0), compute_dtype, mlp_apply,
-                *ctx,
-            )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        metrics = finalize_metrics(
-            metrics, grads, mesh.size if mesh is not None else 1
-        )
-        # metrics are stacked scan outputs (scalars only — the per-step
-        # dynamic-update-slice cost is a few floats); the caller keeps
-        # the last row
-        return params, opt_state, metrics
+    # metrics are stacked scan outputs (scalars only — the per-step
+    # dynamic-update-slice cost is a few floats); the caller keeps the
+    # last row
 
     if occupancy_cfg is None:
 
         def multi_fn(params, opt_state, images, poses, start_step, base_key):
             def one_step(carry, step):
                 params, opt_state = carry
-                params, opt_state, metrics = inner_step(
+                params, opt_state, metrics = run_step(
                     params, opt_state, images, poses, step, base_key
                 )
                 return (params, opt_state), metrics
@@ -558,7 +542,7 @@ def make_multi_step(
             grid, occ_words, occ_fraction = _occ_step_context(
                 occupancy_cfg, nerf_cfg, compute_dtype, params, grid, step, key
             )
-            params, opt_state, metrics = inner_step(
+            params, opt_state, metrics = run_step(
                 params, opt_state, images, poses, step, base_key,
                 ctx=(occ_words,),
             )
