@@ -40,35 +40,41 @@ DRIVER = textwrap.dedent(
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     import jax
     jax.config.update("jax_platforms", "cpu")
-    pid, root, scene, port = sys.argv[1:5]
+    pid, name, steps, root, scene, port = sys.argv[1:7]
     sys.path.insert(0, {repo!r})
     import train_nerf
     train_nerf.main([
-        "-n", "mh", "-s", "1", "-r", "64", "-rd", root,
+        "-n", name, "-s", steps, "-r", "64", "-rd", root,
         "--precision", "fp32", "--log-every", "1",
         "--multihost", "--coordinator", "localhost:" + port,
         "--num-processes", "2", "--process-id", pid,
         "full", "-b", scene, "-c", "8", "-f", "8", "-cr", "0",
-    ])
+    ] + sys.argv[7:])
     """
 ).format(repo=str(REPO_ROOT))
 
 
-@pytest.fixture(scope="module")
-def multihost_run(fixture_scene, tmp_path_factory):
-    root = tmp_path_factory.mktemp("mh")
+def _launch_pair(root, fixture_scene, name, steps="1", extra=()):
     driver = root / "driver.py"
-    driver.write_text(DRIVER)
+    if not driver.exists():
+        driver.write_text(DRIVER)
     port = str(_free_port())
     procs = [
         subprocess.Popen(
-            [sys.executable, str(driver), str(pid), str(root),
-             str(fixture_scene), port],
+            [sys.executable, str(driver), str(pid), name, steps, str(root),
+             str(fixture_scene), port, *extra],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         )
         for pid in (0, 1)
     ]
     outs = [p.communicate(timeout=300)[0] for p in procs]
+    return procs, outs
+
+
+@pytest.fixture(scope="module")
+def multihost_run(fixture_scene, tmp_path_factory):
+    root = tmp_path_factory.mktemp("mh")
+    procs, outs = _launch_pair(root, fixture_scene, "mh")
     return root, procs, outs
 
 
@@ -109,3 +115,26 @@ def test_multihost_first_step_matches_single_process(multihost_run, fixture_scen
             float(mh_rows[1][key]), float(sp_rows[1][key]), rtol=1e-6,
             err_msg=key,
         )
+
+
+def test_multihost_occupancy_runs_and_checkpoints_grid(fixture_scene,
+                                                       tmp_path_factory):
+    """The fast-recipe combination: occupancy-guided sampling over a
+    2-process global mesh. The scheduled grid EMA update is replicated
+    per-process computation; the step must complete and the primary's
+    checkpoint must carry the grid."""
+    root = tmp_path_factory.mktemp("mhocc")
+    procs, outs = _launch_pair(
+        root, fixture_scene, "mhocc", steps="2",
+        extra=("--occupancy", "--occ-resolution", "16",
+               "--occ-update-every", "1", "--occ-warmup-steps", "1"),
+    )
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    ckpts = list((root / "mhocc" / "checkpoints").glob("*.ckpt"))
+    assert ckpts
+
+    from minimal_nerf_tpu.training.trainer import load_state_for_inference
+
+    _, _, _, grid = load_state_for_inference(str(ckpts[-1]))
+    assert grid is not None and grid.shape == (16, 16, 16)
