@@ -48,6 +48,25 @@ Params = Dict[str, Any]
 DEFAULT_RAY_TILE = 16
 
 
+def _auto_tiles(union_samples: int) -> Tuple[int, int]:
+    """Pick (ray_tile, bwd_ray_tile) for a given fine-union sample count.
+
+    The MXU matmuls see ``ray_tile * samples`` rows per grid step; the
+    VMEM-safe sweet spots measured on v5e are ~4096 rows forward and ~2048
+    backward (the backward holds ~3x the live activations). A fixed tile of
+    16 is right for the 192-sample production union but leaves ~10% rays/s
+    on the table at the fast recipe's 64-sample union (273k -> 301k rays/s
+    at 16+48; PERFORMANCE.md). Tiles are multiples of 8 (Mosaic sublane
+    divisibility), clamped to [8, 64], bwd reduced until it divides fwd.
+    """
+    u = max(union_samples, 1)
+    fwd = min(64, max(8, (4096 // u) // 8 * 8))
+    bwd = min(64, max(8, (2048 // u) // 8 * 8))
+    while fwd % bwd:
+        bwd -= 8
+    return fwd, bwd
+
+
 def _mm3(a, w, dtype):
     """``[R, S, Cin] @ [Cin, Cout]`` via a free collapse to ``[R*S, Cin]``."""
     r, s, cin = a.shape
@@ -443,7 +462,7 @@ def render_rays_fused(
     key: jax.Array,
     compute_dtype=None,
     mlp_apply=None,  # accepted for interface parity; the fused path ignores it
-    ray_tile: int = DEFAULT_RAY_TILE,
+    ray_tile: int = 0,
     bwd_ray_tile: int = 0,
     interpret: bool = False,
     coarse_sampler=None,
@@ -455,8 +474,18 @@ def render_rays_fused(
     the 192-sample union in XLA and everything else in the kernel.
     ``coarse_sampler`` overrides coarse sample placement exactly as in
     ``models.nerf.render_rays`` (the kernel only consumes the resulting ts).
+    ``ray_tile=0`` (default) sizes the tiles from the sample counts
+    (``_auto_tiles``) — 16 at the production 192-sample union, larger for
+    reduced-sample configs.
     """
     from minimal_nerf_tpu.ops import rendering
+
+    if ray_tile <= 0:
+        union = config.coarse_samples + config.fine_samples
+        auto_fwd, auto_bwd = _auto_tiles(union)
+        ray_tile = auto_fwd
+        if bwd_ray_tile <= 0:
+            bwd_ray_tile = auto_bwd
 
     sample_coarse = (
         coarse_sampler if coarse_sampler is not None
@@ -502,9 +531,12 @@ def render_rays_fused(
     return {"fine_rgb_rays": fine_color, "coarse_rgb_rays": coarse_color}
 
 
-def make_fused_render_fn(ray_tile: int = DEFAULT_RAY_TILE,
+def make_fused_render_fn(ray_tile: int = 0,
                          bwd_ray_tile: int = 0, interpret: bool = False):
-    """A ``render_fn`` hook (signature of ``models.nerf.render_rays``)."""
+    """A ``render_fn`` hook (signature of ``models.nerf.render_rays``).
+
+    ``ray_tile=0`` auto-sizes the kernel tiles from the model's sample
+    counts at call time (``_auto_tiles``)."""
 
     # return_stats is accepted for render_fn-hook compatibility but ignored:
     # densities never leave the fused kernel's VMEM, so the density
