@@ -39,6 +39,9 @@ def main() -> None:
     parser.add_argument("--occ-no-jitter", action="store_true")
     parser.add_argument("--name", default="demo",
                         help="run name under --out (for A/B comparisons)")
+    parser.add_argument("--scene", choices=["field", "object"], default="field",
+                        help="'object' = compact Blender-like cluster with "
+                             "mostly empty space (the occupancy regime)")
     args = parser.parse_args()
 
     out = Path(args.out)
@@ -50,7 +53,7 @@ def main() -> None:
         print(f"[demo] generating procedural scene at {scene_dir} ...")
         scenes, _ = make_procedural_scene(
             split_frames=(("train", 20), ("val", 2), ("test", 4)),
-            height=args.size, width=args.size,
+            height=args.size, width=args.size, scene=args.scene,
         )
         save_scene_tree(scenes, scene_dir)
 

@@ -49,6 +49,27 @@ class SphereField:
             densities=rng.uniform(20.0, 60.0, num_spheres).astype(np.float32),
         )
 
+    @classmethod
+    def random_object(cls, key: int = 0, num_spheres: int = 48) -> "SphereField":
+        """A compact object: many small primitives clustered near the origin.
+
+        Unlike :meth:`random` (large spheres spread through the box), this
+        matches the Blender scenes' occupancy profile — fine structure
+        inside a ~0.8-radius ball, the rest of the [near, far] frustum
+        empty — which is the regime occupancy-guided sampling targets.
+        """
+        rng = np.random.default_rng(key)
+        # cluster centers inside a ball (rejection-free: scale gaussian dirs)
+        dirs = rng.normal(size=(num_spheres, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True) + 1e-9
+        r = 0.75 * rng.random(num_spheres) ** (1 / 3)  # uniform in ball
+        return cls(
+            centers=(dirs * r[:, None]).astype(np.float32),
+            radii=rng.uniform(0.06, 0.22, num_spheres).astype(np.float32),
+            colors=rng.uniform(0.1, 1.0, (num_spheres, 3)).astype(np.float32),
+            densities=rng.uniform(40.0, 120.0, num_spheres).astype(np.float32),
+        )
+
     def field(self, pts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Analytic (density, rgb) at points ``[..., 3]``.
 
@@ -142,6 +163,7 @@ def make_procedural_scene(
     field: Optional[SphereField] = None,
     seed: int = 0,
     gt_samples: int = 256,
+    scene: str = "field",
 ):
     """Generate in-memory ``SyntheticScene``s for each split.
 
@@ -149,10 +171,18 @@ def make_procedural_scene(
     offsets (train/val/test see distinct viewpoints) and slight elevation
     variation.
 
+    Args:
+        scene: ``"field"`` (large spheres through the box) or ``"object"``
+            (compact Blender-like cluster, mostly empty space).
+
     Returns:
         dict split -> SyntheticScene, plus the generating ``field``.
     """
-    field = field or SphereField.random(seed)
+    if field is None:
+        field = (
+            SphereField.random_object(seed) if scene == "object"
+            else SphereField.random(seed)
+        )
     focal = cameras.focal_from_angle(width, camera_angle_x)
     scenes = {}
     offsets = {"train": 0.0, "val": 3.1, "test": 7.3}
@@ -211,12 +241,15 @@ if __name__ == "__main__":
     parser.add_argument("--size", type=int, default=100, help="image H=W")
     parser.add_argument("--train-frames", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--scene", choices=["field", "object"], default="field",
+                        help="'object' = compact Blender-like cluster")
     args = parser.parse_args()
     scenes, _ = make_procedural_scene(
         split_frames=(("train", args.train_frames), ("val", 2), ("test", 4)),
         height=args.size,
         width=args.size,
         seed=args.seed,
+        scene=args.scene,
     )
     save_scene_tree(scenes, args.out)
     print(f"wrote procedural scene to {args.out}")

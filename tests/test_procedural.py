@@ -48,3 +48,25 @@ def test_make_and_save_procedural_scene(tmp_path):
     np.testing.assert_array_equal(loaded.images, scenes["test"].images)
     np.testing.assert_allclose(loaded.poses, scenes["test"].poses, atol=1e-6)
     assert abs(loaded.focal - scenes["test"].focal) < 1e-6
+
+
+def test_object_scene_is_compact_with_empty_margins():
+    from minimal_nerf_tpu.data.procedural import SphereField
+
+    f = SphereField.random_object(0)
+    # every primitive (center + radius) stays inside the unit ball — the
+    # rest of the sampled frustum is empty space
+    import numpy as np
+
+    extent = np.linalg.norm(f.centers, axis=1) + f.radii
+    assert (extent < 1.0).all()
+    # and it renders: a centered view must have content in the middle and
+    # black corners (empty space along those rays)
+    from minimal_nerf_tpu.data.procedural import render_analytic_view
+    from minimal_nerf_tpu.ops import cameras
+
+    pose = cameras.pose_spherical(30.0, -30.0, 4.0)
+    im = render_analytic_view(f, pose, 48, 48, cameras.focal_from_angle(48, 0.69),
+                              num_samples=64, chunk=2304)
+    assert im[:4, :4].max() == 0  # corner rays miss the object
+    assert im[16:32, 16:32].max() > 30  # center rays hit it
