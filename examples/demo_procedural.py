@@ -36,6 +36,7 @@ def main() -> None:
     parser.add_argument("--occupancy", action="store_true",
                         help="occupancy-grid accelerated coarse sampling")
     parser.add_argument("--occ-floor", type=float, default=0.25)
+    parser.add_argument("--occ-num-bins", type=int, default=64)
     parser.add_argument("--occ-no-jitter", action="store_true")
     parser.add_argument("--name", default="demo",
                         help="run name under --out (for A/B comparisons)")
@@ -69,7 +70,8 @@ def main() -> None:
         "--fine-sampling", args.fine_sampling,
     ]
     if args.occupancy:
-        argv += ["--occupancy", "--occ-floor", str(args.occ_floor)]
+        argv += ["--occupancy", "--occ-floor", str(args.occ_floor),
+                 "--occ-num-bins", str(args.occ_num_bins)]
         if args.occ_no_jitter:
             argv.append("--occ-no-jitter")
     train_nerf.main(argv)

@@ -116,6 +116,11 @@ def build_parser() -> argparse.ArgumentParser:
                              help="train steps between grid EMA updates")
     full_parser.add_argument("--occ-warmup-steps", type=int, default=256,
                              help="steps with every cell forced occupied")
+    full_parser.add_argument("--occ-num-bins", type=int, default=64,
+                             help="per-ray occupancy probe bins (the bin "
+                                  "query gather is the sampler's main cost; "
+                                  "32 halves it at slightly coarser "
+                                  "guidance)")
     full_parser.add_argument("--occ-floor", type=float, default=0.25,
                              help="sampling weight of unoccupied in-bounds "
                                   "bins relative to occupied (1.0)")
@@ -198,6 +203,7 @@ def train_full_nerf(args) -> None:
         occ_threshold=args.occ_threshold,
         occ_update_every=args.occ_update_every,
         occ_warmup_steps=args.occ_warmup_steps,
+        occ_num_bins=args.occ_num_bins,
         occ_floor=args.occ_floor,
         occ_in_bin_jitter=not args.occ_no_jitter,
     )
