@@ -156,3 +156,18 @@ def test_fused_pass_nondefault_encoding_dims():
     )
     np.testing.assert_allclose(color, ref_color, rtol=3e-5, atol=1e-6)
     np.testing.assert_allclose(weights, ref_w, rtol=3e-5, atol=1e-6)
+
+
+def test_auto_tiles_selection():
+    from minimal_nerf_tpu.kernels.fused_raymarch import _auto_tiles
+
+    # production 192-sample union keeps the tuned 16/8
+    assert _auto_tiles(192) == (16, 8)
+    # fast recipe's 64-sample union fills the MXU with 64/32 (+10% measured)
+    assert _auto_tiles(64) == (64, 32)
+    assert _auto_tiles(128) == (32, 16)
+    for u in range(8, 512, 8):
+        fwd, bwd = _auto_tiles(u)
+        assert fwd % 8 == 0 and bwd % 8 == 0  # Mosaic sublane divisibility
+        assert fwd % bwd == 0  # backward tile must divide forward
+        assert 8 <= bwd <= fwd <= 64
