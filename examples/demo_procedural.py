@@ -43,6 +43,10 @@ def main() -> None:
     parser.add_argument("--scene", choices=["field", "object"], default="field",
                         help="'object' = compact Blender-like cluster with "
                              "mostly empty space (the occupancy regime)")
+    parser.add_argument("--cr", type=int, default=0,
+                        help="center-crop warmup epochs (the reference's "
+                             "remedy for empty-background scenes; one epoch "
+                             "= 20 steps here)")
     args = parser.parse_args()
 
     out = Path(args.out)
@@ -66,7 +70,7 @@ def main() -> None:
         "-rd", str(out), "--precision", args.precision, "--kernel", args.kernel,
         "--steps-per-call", str(args.steps_per_call),
         "full", "-b", str(scene_dir), "-c", str(args.coarse),
-        "-f", str(args.fine), "-cr", "0",
+        "-f", str(args.fine), "-cr", str(args.cr),
         "--fine-sampling", args.fine_sampling,
     ]
     if args.occupancy:
