@@ -152,7 +152,7 @@ def export_checkpoint(in_path: str, out_path: str) -> None:
             f"only full NeRFNetwork checkpoints export to the reference "
             f"format (got mode={mode!r})"
         )
-    params, nerf_cfg, train_cfg, _occ = load_state_for_inference(in_path)
+    params, nerf_cfg, train_cfg, _occ, _ = load_state_for_inference(in_path)
 
     state: Dict[str, Any] = {}
     export_mlp_state(state, "coarse_network", params["coarse"])

@@ -36,7 +36,7 @@ def build_render_chunk(
     from minimal_nerf_tpu import views
     from minimal_nerf_tpu.training.trainer import load_state_for_inference
 
-    params, nerf_cfg, train_cfg, occ_grid = load_state_for_inference(ckpt)
+    params, nerf_cfg, train_cfg, occ_grid, ckpt_step = load_state_for_inference(ckpt)
     if coarse or fine:
         # inference-time sample-count override: the MLP weights are
         # independent of the per-ray sample counts (shape-static knobs), so
@@ -66,15 +66,21 @@ def build_render_chunk(
             occ_cfg, jax.random.PRNGKey(0),
             compute_dtype=train_cfg.compute_dtype,
         )
+        ckpt_step = occ_cfg.warmup_steps  # baked grid: never warmup-forced
     if occ_grid is not None and not ignore_occupancy:
         # occupancy-trained models render with their grid (the coarse net
-        # only trains where the grid samples — see load_state_for_inference)
+        # only trains where the grid samples — see load_state_for_inference).
+        # A checkpoint saved inside the occupancy warmup window trained with
+        # every cell forced occupied — pack the same way here
         import jax.numpy as jnp
 
         from minimal_nerf_tpu.ops import occupancy as occ_lib
 
-        occ_words = occ_lib.pack_occupancy(jnp.asarray(occ_grid), occ_cfg)
-        coarse_sampler = occ_lib.make_occupancy_sampler(occ_words, occ_cfg)
+        occ_table = occ_lib.pack_bin_table(
+            jnp.asarray(occ_grid), occ_cfg,
+            force_all=ckpt_step < occ_cfg.warmup_steps,
+        )
+        coarse_sampler = occ_lib.make_occupancy_sampler(occ_table, occ_cfg)
 
     # "auto" renders through the kernel the checkpoint trained under (the
     # weights adapt to that kernel's numerics)

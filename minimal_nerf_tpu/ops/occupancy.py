@@ -16,10 +16,14 @@ TPU-first design decisions:
   grid redistributes *where* the samples land (piecewise-constant inverse
   CDF over the per-ray bin-occupancy weights), not how many there are. No
   dynamic shapes, no ragged compaction — XLA sees one fixed program.
-- **Bit-packed grid**: occupancy is ``G^3`` bits packed 32/word
-  (``64^3 -> 32 KiB``), so the per-ray bin queries are gathers from a table
-  small enough to stay resident in cache/VMEM instead of HBM-bound random
-  access (cf. the u32 pixel-word packing in ``data.synthetic``).
+- **Row-gather weight table**: the hot-path grid representation is a
+  ``[G*G, G]`` float32 table of z-rows (``pack_bin_table``) so the per-step
+  bin probes are a major-axis row gather + in-row ``take_along_axis`` — the
+  layout XLA gathers natively on TPU (same pattern as the u32 pixel-word
+  packing in ``data.synthetic``; TPU has no hardware gather, and the
+  previous per-element gathers from a bit-packed word table cost 1.9 ms of
+  a 13.6 ms step). A bit-packed form (``pack_occupancy``, 32 KiB) remains
+  for compact serialization/debugging.
 - **In-jit EMA updates**: the grid update (evaluate both MLPs' densities at
   jittered cell centers, ``ema = max(decay * ema, sigma)``) is a
   ``lax.cond`` branch inside the train step, so scan-fused multi-step
@@ -56,9 +60,19 @@ class OccupancyConfig:
             synthetic scenes' content (the reference normalizes coordinates
             by pi for an assumed ~[-3, 3] scene bound, ``nerf_model.py:35-54``)
             with margin for ray segments near ``far``.
-        threshold: density above which a cell counts as occupied. At the
-            production bin width ((6-2)/64 = 0.0625 t-units) a density at
+        threshold: absolute density above which a cell counts as occupied. At
+            the production bin width ((6-2)/64 = 0.0625 t-units) a density at
             the threshold contributes alpha ~= 6e-4 — safely below visibility.
+        rel_threshold: scene-relative component of the occupancy cutoff: the
+            effective threshold is ``max(threshold, rel_threshold * mean(ema))``
+            (cf. Instant-NGP/nerfacc's mean-density-coupled pruning). A purely
+            absolute cutoff creeps in long runs: as the model learns low-level
+            free-space haze whose density crosses ``threshold``, occ_fraction
+            drifts toward ~0.5 and the grid degrades to near-uniform guidance
+            exactly in the reference-length regime (measured round 2,
+            STATUS.md). Coupling the cutoff to the grid's own mean keeps it
+            above the haze floor once real surfaces dominate the EMA mass.
+            0 disables (round-2 behavior).
         decay: per-update EMA decay; a cell whose density collapses fades out
             of the occupancy set over ``~log(eps)/log(decay)`` updates.
         update_every: train steps between grid updates. An update evaluates
@@ -87,6 +101,7 @@ class OccupancyConfig:
     resolution: int = 64
     bound: float = 3.2
     threshold: float = 1e-2
+    rel_threshold: float = 1e-2
     decay: float = 0.9
     update_every: int = 16
     warmup_steps: int = 256
@@ -112,10 +127,38 @@ def init_grid(cfg: OccupancyConfig) -> jnp.ndarray:
     return jnp.zeros((g, g, g), jnp.float32)
 
 
+def effective_threshold(ema: jnp.ndarray, cfg: OccupancyConfig) -> jnp.ndarray:
+    """The density cutoff for "occupied": ``max(threshold, rel * mean(ema))``.
+
+    See ``OccupancyConfig.rel_threshold``: the scene-relative component keeps
+    the cutoff above late-run free-space haze (whose density crosses the
+    absolute ``threshold`` and would creep occ_fraction toward uniform).
+    """
+    if cfg.rel_threshold <= 0:
+        return jnp.float32(cfg.threshold)
+    return jnp.maximum(
+        jnp.float32(cfg.threshold), cfg.rel_threshold * jnp.mean(ema)
+    )
+
+
+def occupancy_mask(
+    ema: jnp.ndarray, cfg: OccupancyConfig, force_all: jnp.ndarray | bool = False
+) -> jnp.ndarray:
+    """``[G, G, G]`` bool: cell occupied (above the effective threshold).
+
+    Args:
+        force_all: traced bool; True marks every cell occupied (warmup).
+    """
+    return (ema > effective_threshold(ema, cfg)) | force_all
+
+
 def pack_occupancy(
     ema: jnp.ndarray, cfg: OccupancyConfig, force_all: jnp.ndarray | bool = False
 ) -> jnp.ndarray:
     """Threshold the EMA grid into bit-packed occupancy words.
+
+    Compact (``G^3`` bits = 32 KiB at G=64) serialization/debug form; the hot
+    sampling path uses ``pack_bin_table`` instead (see its docstring for why).
 
     Args:
         ema: ``[G, G, G]`` density EMAs.
@@ -125,14 +168,45 @@ def pack_occupancy(
         ``[G^3 // 32]`` uint32, bit ``i & 31`` of word ``i >> 5`` = cell ``i``
         occupied (C-order linear index ``(x * G + y) * G + z``).
     """
-    occ = (ema > cfg.threshold) | force_all
+    occ = occupancy_mask(ema, cfg, force_all)
     bits = occ.reshape(-1, 32).astype(jnp.uint32)
     shifts = jnp.arange(32, dtype=jnp.uint32)
     return jnp.sum(bits << shifts[None, :], axis=1, dtype=jnp.uint32)
 
 
+def bin_table_from_mask(mask: jnp.ndarray, cfg: OccupancyConfig) -> jnp.ndarray:
+    """``[G*G, G]`` float32 per-cell sampling weights from an occupancy mask.
+
+    Row ``x*G + y`` holds the z-line of cells ``(x, y, :)``; occupied cells
+    weigh 1.0, empty in-AABB cells ``cfg.floor`` (out-of-AABB handling happens
+    at query time — every table cell is inside the AABB by construction).
+    """
+    return jnp.where(
+        mask, jnp.float32(1.0), jnp.float32(cfg.floor)
+    ).reshape(cfg.resolution * cfg.resolution, cfg.resolution)
+
+
+def pack_bin_table(
+    ema: jnp.ndarray, cfg: OccupancyConfig, force_all: jnp.ndarray | bool = False
+) -> jnp.ndarray:
+    """Threshold the EMA grid into the row-gather weight table.
+
+    This is the hot-path representation: TPU has no hardware gather, and the
+    per-step bin query's ``N * B`` (262k at production shapes) random scalar
+    gathers from the bit-packed 32 KiB word table lowered to 1.9 ms/step —
+    14% of the fast-recipe step (PERFORMANCE.md round 2). Restructured as the
+    layout XLA gathers natively (cf. ``data.synthetic.pack_images``): fetch
+    whole 64-cell z-rows with a major-axis row gather, then select the z lane
+    with an in-row ``take_along_axis``.
+
+    Returns:
+        ``[G*G, G]`` float32 (1 MiB at G=64): 1.0 occupied, ``cfg.floor`` empty.
+    """
+    return bin_table_from_mask(occupancy_mask(ema, cfg, force_all), cfg)
+
+
 def query_bin_weights(
-    occ_words: jnp.ndarray,
+    occ_table: jnp.ndarray,
     o_rays: jnp.ndarray,
     d_rays: jnp.ndarray,
     cfg: OccupancyConfig,
@@ -147,6 +221,9 @@ def query_bin_weights(
     unoccupied in-bounds bins ``cfg.floor``, out-of-AABB probes 0; rays with
     no positive-weight probe fall back to uniform weights.
 
+    Args:
+        occ_table: ``[G*G, G]`` weight table from ``pack_bin_table``.
+
     Returns:
         ``[N, B]`` float32 weights.
     """
@@ -159,13 +236,13 @@ def query_bin_weights(
     v = jnp.floor((pos + cfg.bound) * scale).astype(jnp.int32)
     in_bounds = jnp.all((v >= 0) & (v < g), axis=-1)  # [N,B]
     vc = jnp.clip(v, 0, g - 1)
-    lin = (vc[..., 0] * g + vc[..., 1]) * g + vc[..., 2]  # [N,B]
-    words = occ_words[lin >> 5]  # gather from the 32KiB word table
-    bit = (words >> (lin & 31).astype(jnp.uint32)) & jnp.uint32(1)
-    occ = (bit != 0) & in_bounds
-    weights = jnp.where(
-        occ, 1.0, jnp.where(in_bounds, jnp.float32(cfg.floor), 0.0)
-    ).astype(jnp.float32)
+    # two-level gather (the TPU-native pattern, cf. data.synthetic
+    # .gather_pixels): whole z-rows by major-axis index, then the z lane
+    row = (vc[..., 0] * g + vc[..., 1]).reshape(-1)  # [N*B]
+    rows = occ_table[row]  # [N*B, G] row gather
+    z = vc[..., 2].reshape(-1)
+    vals = jnp.take_along_axis(rows, z[:, None], axis=1)[:, 0]
+    weights = vals.reshape(in_bounds.shape) * in_bounds  # out-of-AABB -> 0
     any_mass = jnp.sum(weights, axis=1, keepdims=True) > 0
     return jnp.where(any_mass, weights, jnp.ones_like(weights))
 
@@ -242,15 +319,19 @@ def occupancy_coarse_samples(
 
 
 def make_occupancy_sampler(
-    occ_words: jnp.ndarray, cfg: OccupancyConfig, num_bins: int = 0
+    occ_table: jnp.ndarray, cfg: OccupancyConfig, num_bins: int = 0
 ) -> Callable:
     """A ``coarse_sampler`` hook (signature of ``generate_coarse_samples``)
-    that concentrates samples in occupied bins via the packed grid."""
+    that concentrates samples in occupied bins via the packed grid.
+
+    Args:
+        occ_table: ``[G*G, G]`` weight table from ``pack_bin_table``.
+    """
     bins = num_bins or cfg.num_bins
 
     def sampler(key, o_rays, d_rays, num_samples, near, far):
         weights = query_bin_weights(
-            occ_words, o_rays, d_rays, cfg, bins, near, far
+            occ_table, o_rays, d_rays, cfg, bins, near, far
         )
         return occupancy_coarse_samples(
             key, o_rays, d_rays, weights, num_samples, near, far,

@@ -31,6 +31,12 @@ class TrainConfig:
     # steps per epoch; None -> number of train frames (reference: DataLoader
     # over F frames with batch_size=1 => F steps/epoch, F=100 for Blender).
     steps_per_epoch: Optional[int] = None
+    # render the validation recon image only on every Nth validation boundary
+    # (1 = reference parity, nerf_model.py:199-203: an image every
+    # validation). Val LOSSES still run at every boundary regardless — the
+    # image is the expensive part (a full H*W render) and the reference's own
+    # semantics only require "a periodic recon image".
+    val_render_every: int = 1
     # fuse this many train steps into one lax.scan dispatch (amortizes host
     # dispatch latency; 1 = plain per-step dispatch). Epoch/val boundaries
     # are respected by falling back to single steps near them.
@@ -56,6 +62,11 @@ class TrainConfig:
     occ_resolution: int = 64
     occ_bound: float = 3.2
     occ_threshold: float = 1e-2
+    # scene-relative occupancy cutoff component: effective threshold is
+    # max(occ_threshold, occ_rel_threshold * mean(ema)). Fixes the long-run
+    # occ_fraction creep of a purely absolute cutoff (see
+    # ops.occupancy.OccupancyConfig.rel_threshold). 0 disables.
+    occ_rel_threshold: float = 1e-2
     occ_decay: float = 0.9
     occ_update_every: int = 16
     occ_warmup_steps: int = 256
@@ -74,6 +85,7 @@ class TrainConfig:
             resolution=self.occ_resolution,
             bound=self.occ_bound,
             threshold=self.occ_threshold,
+            rel_threshold=self.occ_rel_threshold,
             decay=self.occ_decay,
             update_every=self.occ_update_every,
             warmup_steps=self.occ_warmup_steps,
@@ -88,7 +100,13 @@ class TrainConfig:
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainConfig":
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in d.items() if k in known})
+        kept = {k: v for k, v in d.items() if k in known}
+        if d.get("occupancy") and "occ_rel_threshold" not in d:
+            # checkpoints from before the relative threshold existed trained
+            # with the purely absolute cutoff — preserve their packing
+            # semantics at inference instead of the new default
+            kept["occ_rel_threshold"] = 0.0
+        return cls(**kept)
 
     @property
     def compute_dtype(self):

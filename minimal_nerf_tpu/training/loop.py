@@ -180,8 +180,8 @@ def make_occupancy_loss(occupancy_cfg, base_loss_fn: Callable = nerf_loss) -> Ca
     from minimal_nerf_tpu.ops import occupancy as occ_lib
 
     def loss_fn(params, nerf_cfg, o_rays, d_rays, rgb, key,
-                compute_dtype=None, mlp_apply=None, occ_words=None):
-        sampler = occ_lib.make_occupancy_sampler(occ_words, occupancy_cfg)
+                compute_dtype=None, mlp_apply=None, occ_table=None):
+        sampler = occ_lib.make_occupancy_sampler(occ_table, occupancy_cfg)
         return base_loss_fn(
             params, nerf_cfg, o_rays, d_rays, rgb, key,
             compute_dtype, mlp_apply, coarse_sampler=sampler,
@@ -201,7 +201,8 @@ def _occ_step_context(occupancy_cfg, nerf_cfg, compute_dtype, params, grid,
     ``shard_map``) — identical inputs give identical grids on every device.
 
     Returns:
-        ``(grid, occ_words, occ_fraction)``.
+        ``(grid, occ_table, occ_fraction)`` — ``occ_table`` is the
+        ``[G*G, G]`` row-gather weight table (``ops.occupancy.pack_bin_table``).
     """
     from minimal_nerf_tpu.ops import occupancy as occ_lib
 
@@ -218,11 +219,10 @@ def _occ_step_context(occupancy_cfg, nerf_cfg, compute_dtype, params, grid,
         grid,
     )
     warm = step < occupancy_cfg.warmup_steps
-    occ_words = occ_lib.pack_occupancy(grid, occupancy_cfg, force_all=warm)
-    occ_fraction = jnp.sum(
-        jax.lax.population_count(occ_words)
-    ).astype(jnp.float32) / (occ_words.size * 32)
-    return grid, occ_words, occ_fraction
+    mask = occ_lib.occupancy_mask(grid, occupancy_cfg, force_all=warm)
+    occ_table = occ_lib.bin_table_from_mask(mask, occupancy_cfg)
+    occ_fraction = jnp.mean(mask.astype(jnp.float32))
+    return grid, occ_table, occ_fraction
 
 
 def sample_train_batch(
@@ -429,11 +429,11 @@ def make_train_step(
 
     def occ_step_fn(params, opt_state, grid, images, poses, step, base_key):
         key = jax.random.fold_in(base_key, step)
-        grid, occ_words, occ_fraction = _occ_step_context(
+        grid, occ_table, occ_fraction = _occ_step_context(
             occupancy_cfg, nerf_cfg, compute_dtype, params, grid, step, key
         )
         params, opt_state, metrics = run_step(
-            params, opt_state, images, poses, step, base_key, ctx=(occ_words,)
+            params, opt_state, images, poses, step, base_key, ctx=(occ_table,)
         )
         metrics = dict(metrics, lr=lr_sched(step), occ_fraction=occ_fraction)
         return params, opt_state, grid, metrics
@@ -482,6 +482,71 @@ def make_eval_step(
         }
 
     return jax.jit(eval_fn)
+
+
+def make_batched_eval_step(
+    nerf_cfg: NeRFConfig, train_cfg: TrainConfig, val_static: SceneStatic,
+    mesh=None, mlp_apply=None, render_fn=None, occupancy_cfg=None,
+) -> Callable:
+    """Every val frame's losses in ONE jitted dispatch (``lax.map`` over frames).
+
+    Semantics identical to looping ``make_eval_step`` over frames (reference
+    ``nerf_model.py:171-197``: losses over EVERY val frame) including the
+    exact per-frame RNG stream the trainer used — but the 100-frame Blender
+    val split costs one dispatch + one scalar fetch instead of 100 of each
+    (per-dispatch latency ~20 ms makes the per-frame loop ~40% of
+    reference-length wall time — VERDICT round 2).
+
+    Returns:
+        ``eval_all(params, images, poses, step, base_key, *ctx) -> metrics``
+        where ``images``/``poses`` are the val split's ``device_arrays()``,
+        ``ctx`` optionally carries the packed occupancy bin table, and
+        metrics are means over frames of the three val losses.
+    """
+    compute_dtype = train_cfg.compute_dtype
+    render = render_fn if render_fn is not None else render_rays
+    num_rays = train_cfg.num_rays
+    h, w = val_static.height, val_static.width
+
+    def eval_all(params, images, poses, step, base_key, *ctx):
+        coarse_sampler = None
+        if occupancy_cfg is not None:
+            from minimal_nerf_tpu.ops import occupancy as occ_lib
+
+            coarse_sampler = occ_lib.make_occupancy_sampler(
+                ctx[0], occupancy_cfg
+            )
+
+        def one_frame(idx):
+            # the key stream mirrors the trainer's historical per-frame loop
+            # (fold_in(base_key, 10_000_000 + step + idx); render key fold 1)
+            key = jax.random.fold_in(base_key, 10_000_000 + step + idx)
+            xs, ys = sample_random_coordinates(key, num_rays, h, w, False)
+            origin, direc = cameras.rays_for_pixels(
+                xs, ys, h, w, val_static.focal, poses[idx]
+            )
+            rgb = gather_pixels(images, (idx * h + ys) * w + xs)
+            if mesh is not None:
+                origin = pmesh.shard_batch(origin, mesh)
+                direc = pmesh.shard_batch(direc, mesh)
+                rgb = pmesh.shard_batch(rgb, mesh)
+            out = render(
+                params, nerf_cfg, origin, direc, jax.random.fold_in(key, 1),
+                compute_dtype=compute_dtype, mlp_apply=mlp_apply,
+                coarse_sampler=coarse_sampler,
+            )
+            coarse_loss = jnp.mean((out["coarse_rgb_rays"] - rgb) ** 2)
+            fine_loss = jnp.mean((out["fine_rgb_rays"] - rgb) ** 2)
+            return {
+                "val_loss": coarse_loss + fine_loss,
+                "val_coarse_loss": coarse_loss,
+                "val_fine_loss": fine_loss,
+            }
+
+        stacked = jax.lax.map(one_frame, jnp.arange(val_static.num_frames))
+        return {k: jnp.mean(v) for k, v in stacked.items()}
+
+    return jax.jit(eval_all)
 
 
 def make_multi_step(
@@ -539,12 +604,12 @@ def make_multi_step(
         def one_step(carry, step):
             params, opt_state, grid = carry
             key = jax.random.fold_in(base_key, step)
-            grid, occ_words, occ_fraction = _occ_step_context(
+            grid, occ_table, occ_fraction = _occ_step_context(
                 occupancy_cfg, nerf_cfg, compute_dtype, params, grid, step, key
             )
             params, opt_state, metrics = run_step(
                 params, opt_state, images, poses, step, base_key,
-                ctx=(occ_words,),
+                ctx=(occ_table,),
             )
             metrics = dict(metrics, occ_fraction=occ_fraction)
             return (params, opt_state, grid), metrics

@@ -74,6 +74,13 @@ class Trainer:
         # training program (the grad pmean is a cross-host collective), but
         # only process 0 owns host-side IO: run dir, metrics, images, ckpts
         self.is_primary = jax.process_index() == 0
+        if resume_ckpt == "auto":
+            # resolve 'auto' NOW (not in init_state): the logger's resume
+            # decision below must reflect whether a checkpoint actually
+            # exists — '--ckpt auto' on a fresh run must NOT adopt a stale
+            # metrics.csv from a previous same-name run
+            latest = ckpt_lib.latest_checkpoint(self.ckpt_dir)
+            resume_ckpt = str(latest) if latest else None
         if self.is_primary:
             self.ckpt_dir.mkdir(parents=True, exist_ok=True)
             self.logger = logger or MetricsLogger(
@@ -135,6 +142,7 @@ class Trainer:
             train_config.seed, impl=train_config.rng_impl
         )
         self._val_render_chunk = None
+        self._batched_eval = None
 
     def _make_single_eval(self):
         cfg = self.train_config
@@ -332,27 +340,59 @@ class Trainer:
         if self.mode == "full" and self._occ_cfg is not None:
             # evaluate through the SAME grid-guided sampler training uses
             # (uniform val of an occupancy-trained model is a sampling
-            # mismatch); the packed words also feed the val render below
+            # mismatch); the packed table also feeds the val render below.
+            # During warmup training forces every cell occupied — validation
+            # must match, or warmup-window val losses/renders go through a
+            # partially-formed grid the train step never sampled from
             from minimal_nerf_tpu.ops import occupancy as occ_lib
 
-            occ_ctx = (occ_lib.pack_occupancy(self._grid, self._occ_cfg),)
-        losses = []
-        for idx in range(self.val_scene.num_frames):
-            key = jax.random.fold_in(self.base_key, 10_000_000 + step + idx)
-            batch = self.val_scene.ray_batch(
-                key, idx, cfg.num_rays, arrays=arrays
+            occ_ctx = (occ_lib.pack_bin_table(
+                self._grid, self._occ_cfg,
+                force_all=step < self._occ_cfg.warmup_steps,
+            ),)
+        if self.mode == "full":
+            # every val frame in ONE dispatch (losses over all frames was a
+            # per-frame Python loop: ~100 dispatches + device_gets per
+            # validation boundary, ~40% of reference-length wall time)
+            if self._batched_eval is None:
+                from minimal_nerf_tpu.training.loop import (
+                    make_batched_eval_step,
+                    scene_static,
+                )
+
+                self._batched_eval = make_batched_eval_step(
+                    self.nerf_config, cfg, scene_static(self.val_scene),
+                    mesh=self.mesh, mlp_apply=self.mlp_apply,
+                    render_fn=self.render_fn, occupancy_cfg=self._occ_cfg,
+                )
+            m = self._batched_eval(
+                params, arrays["images"], arrays["poses"], step,
+                self.base_key, *occ_ctx,
             )
-            m = self.eval_fn(
-                params, batch["origin"], batch["direc"], batch["rgb"],
-                jax.random.fold_in(key, 1), *occ_ctx,
-            )
-            losses.append(jax.device_get(m))
-        mean = {
-            k: float(np.mean([m[k] for m in losses])) for k in losses[0]
-        }
+            mean = {k: float(v) for k, v in jax.device_get(m).items()}
+        else:
+            losses = []
+            for idx in range(self.val_scene.num_frames):
+                key = jax.random.fold_in(self.base_key, 10_000_000 + step + idx)
+                batch = self.val_scene.ray_batch(
+                    key, idx, cfg.num_rays, arrays=arrays
+                )
+                m = self.eval_fn(
+                    params, batch["origin"], batch["direc"], batch["rgb"],
+                    jax.random.fold_in(key, 1), *occ_ctx,
+                )
+                losses.append(jax.device_get(m))
+            mean = {
+                k: float(np.mean([m[k] for m in losses])) for k in losses[0]
+            }
         self.logger.log_scalars(step, mean)
 
-        # reconstruct one random val view (reference nerf_model.py:199-203)
+        # reconstruct one random val view (reference nerf_model.py:199-203),
+        # every val_render_every-th validation boundary (the render is the
+        # expensive half of a validation; losses above run every time)
+        self._val_count = getattr(self, "_val_count", 0) + 1
+        if (self._val_count - 1) % max(cfg.val_render_every, 1) != 0:
+            return mean["val_loss"]
         im_idx = int(
             jax.random.randint(
                 jax.random.fold_in(self.base_key, 20_000_000 + step),
@@ -444,7 +484,7 @@ def load_model_for_inference(ckpt_path):
     single MLP pytree). Use ``load_state_for_inference`` to also get the
     occupancy grid of an occupancy-accelerated run.
     """
-    params, nerf_cfg, train_cfg, _ = load_state_for_inference(ckpt_path)
+    params, nerf_cfg, train_cfg, _, _ = load_state_for_inference(ckpt_path)
     return params, nerf_cfg, train_cfg
 
 
@@ -456,6 +496,12 @@ def load_state_for_inference(ckpt_path):
     inference is a train/test sampling mismatch (measured at -0.5 to -1.8 dB
     on the procedural A/B — see PERFORMANCE.md). ``score.py``/``render.py``
     use the returned grid automatically.
+
+    Returns:
+        ``(params, nerf_cfg, train_cfg, grid, step)`` — ``step`` is the save
+        step, needed to reproduce warmup-window sampling (a checkpoint saved
+        at ``step < occupancy warmup_steps`` trained with every grid cell
+        forced occupied; inference must pack the grid the same way).
     """
     header, leaves = ckpt_lib.load_checkpoint(ckpt_path)
     nerf_cfg = NeRFConfig.from_dict(header["nerf_config"])
@@ -485,4 +531,4 @@ def load_state_for_inference(ckpt_path):
     )
     if occ_cfg is not None:
         grid = restored_opt["occ_ema"]
-    return params, nerf_cfg, train_cfg, grid
+    return params, nerf_cfg, train_cfg, grid, int(header["step"])

@@ -42,6 +42,19 @@ def resolve_inference_kernel(kernel: str, train_cfg=None, backend=None) -> str:
     trained = getattr(train_cfg, "kernel", "auto") if train_cfg is not None else "auto"
     if backend == "tpu":
         return trained if trained != "auto" else "fused"
+    if trained in ("pallas", "fused"):
+        # warn loudly: the silent fallback costs 2-6 dB and looks exactly
+        # like a training regression (see module docstring above)
+        import sys
+
+        print(
+            f"[views] WARNING: checkpoint trained under the '{trained}' "
+            f"kernel, but the current backend is '{backend}' (no Pallas); "
+            "falling back to 'xla'. Scores/renders will be DEGRADED by the "
+            "train/inference numerics mismatch (typically 2-6 dB PSNR) — "
+            "re-run on a TPU backend for faithful outputs.",
+            file=sys.stderr,
+        )
     return "xla"
 
 
@@ -158,19 +171,20 @@ def make_occ_param_render_chunk(
     config: NeRFConfig, occ_cfg, compute_dtype=None, mlp_apply=None,
     render_fn=None,
 ) -> Callable:
-    """A render_chunk threading ``(params, occ_words)`` as its state argument.
+    """A render_chunk threading ``(params, occ_table)`` as its state argument.
 
     For occupancy-trained models whose grid CHANGES between views (trainer
-    validation): the packed occupancy words flow through the jitted sweep as
-    an argument alongside params, so the sweep compiles once per run.
+    validation): the packed bin-weight table (``ops.occupancy.pack_bin_table``)
+    flows through the jitted sweep as an argument alongside params, so the
+    sweep compiles once per run.
     """
     from minimal_nerf_tpu.ops import occupancy as occ_lib
 
     render = render_fn if render_fn is not None else render_rays
 
     def render_chunk_p(state, o, d, key):
-        params, occ_words = state
-        sampler = occ_lib.make_occupancy_sampler(occ_words, occ_cfg)
+        params, occ_table = state
+        sampler = occ_lib.make_occupancy_sampler(occ_table, occ_cfg)
         out = render(
             params, config, o, d, key, compute_dtype=compute_dtype,
             mlp_apply=mlp_apply, coarse_sampler=sampler,

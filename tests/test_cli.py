@@ -166,6 +166,84 @@ def test_ckpt_records_training_kernel(trained_run):
     assert cfg.kernel == "xla"
 
 
+def test_fast_preset_expansion():
+    """--fast expands to the validated recipe; explicit flags win."""
+    parser = train_nerf.build_parser()
+    args = parser.parse_args(["-n", "x", "full", "--fast"])
+    train_nerf.apply_fast_preset(args, train_nerf._FAST_PRESET_DEFAULTS)
+    assert args.occupancy and args.coarse == 16 and args.fine == 48
+    assert args.steps_per_call == 20
+    # an explicit -c overrides the preset's coarse count only
+    args2 = parser.parse_args(["-n", "x", "full", "--fast", "-c", "32"])
+    train_nerf.apply_fast_preset(args2, train_nerf._FAST_PRESET_DEFAULTS)
+    assert args2.coarse == 32 and args2.fine == 48 and args2.occupancy
+
+
+def test_train_full_cli_fast_flag(fixture_scene, tmp_path):
+    """`full --fast` trains end-to-end (occupancy on, reduced samples)."""
+    train_nerf.main(
+        [
+            "-n", "fasttest", "-s", "4", "-r", "64", "-rd", str(tmp_path),
+            "--precision", "fp32",
+            # tiny-run override: steps_per_call=2 (explicit wins over the
+            # preset's 20, which would overshoot a 4-step fixture run)
+            "--steps-per-call", "2",
+            "full", "-b", str(fixture_scene), "-cr", "0", "--fast",
+            "--occ-resolution", "16",
+            "--occ-warmup-steps", "2", "--occ-update-every", "2",
+        ]
+    )
+    ckpts = sorted((tmp_path / "fasttest" / "checkpoints").glob("*.ckpt"))
+    assert ckpts
+    csv = (tmp_path / "fasttest" / "metrics.csv").read_text()
+    assert "occ_fraction" in csv
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+    from minimal_nerf_tpu.training.config import TrainConfig
+    from minimal_nerf_tpu.models.nerf import NeRFConfig
+
+    header, _ = ckpt_lib.load_checkpoint(str(ckpts[-1]))
+    ncfg = NeRFConfig.from_dict(header["nerf_config"])
+    assert ncfg.coarse_samples == 16 and ncfg.fine_samples == 48
+    assert TrainConfig.from_dict(header["train_config"]).occupancy
+
+
+def test_val_render_every_skips_images(fixture_scene, tmp_path):
+    """val_render_every=N renders the recon image on every Nth validation
+    only; val losses still log at every boundary."""
+    from minimal_nerf_tpu.models.nerf import NeRFConfig
+    from minimal_nerf_tpu.training import Trainer, TrainConfig
+
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    mk = lambda n: TrainConfig(
+        num_rays=32, max_steps=6, cropping_epochs=0, log_every=100,
+        check_val_every_n_epoch=1, ckpt_every_steps=100, precision="fp32",
+        val_render_every=n,
+    )
+    # fixture: 3 train frames => validations at steps 3 and 6
+    Trainer(nerf_cfg, mk(1), fixture_scene, tmp_path, name="valall").fit()
+    Trainer(nerf_cfg, mk(100), fixture_scene, tmp_path, name="valskip").fit()
+    ims_all = list((tmp_path / "valall" / "images").glob("recon-val*.png"))
+    ims_skip = list((tmp_path / "valskip" / "images").glob("recon-val*.png"))
+    assert len(ims_all) == 2, ims_all
+    assert len(ims_skip) == 1, ims_skip  # only the first validation renders
+    for name in ("valall", "valskip"):
+        csv = (tmp_path / name / "metrics.csv").read_text()
+        assert "val_loss" in csv and "val_fine_loss" in csv
+
+
+def test_kernel_fallback_warns(capsys):
+    from minimal_nerf_tpu.training.config import TrainConfig
+    from minimal_nerf_tpu.views import resolve_inference_kernel
+
+    fused = TrainConfig(kernel="fused")
+    assert resolve_inference_kernel("auto", fused, backend="cpu") == "xla"
+    err = capsys.readouterr().err
+    assert "DEGRADED" in err and "fused" in err
+    # no warning for an xla-trained checkpoint off-TPU
+    resolve_inference_kernel("auto", TrainConfig(kernel="xla"), backend="cpu")
+    assert "DEGRADED" not in capsys.readouterr().err
+
+
 def test_resolve_inference_kernel():
     from minimal_nerf_tpu.training.config import TrainConfig
     from minimal_nerf_tpu.views import resolve_inference_kernel

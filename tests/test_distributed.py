@@ -136,5 +136,5 @@ def test_multihost_occupancy_runs_and_checkpoints_grid(fixture_scene,
 
     from minimal_nerf_tpu.training.trainer import load_state_for_inference
 
-    _, _, _, grid = load_state_for_inference(str(ckpts[-1]))
+    _, _, _, grid, _ = load_state_for_inference(str(ckpts[-1]))
     assert grid is not None and grid.shape == (16, 16, 16)

@@ -54,7 +54,52 @@ def test_pack_occupancy_force_all():
     assert (words_off == 0).all()
 
 
+def test_bin_table_matches_bitpacked_mask():
+    """The hot-path row-gather table and the bit-packed serialization form
+    must describe the SAME occupancy set."""
+    cfg = small_cfg(floor=0.25)
+    g = cfg.resolution
+    rng = np.random.default_rng(3)
+    ema = rng.uniform(0.0, 0.03, size=(g, g, g)).astype(np.float32)
+    table = np.asarray(occ_lib.pack_bin_table(jnp.asarray(ema), cfg))
+    assert table.shape == (g * g, g) and table.dtype == np.float32
+    words = np.asarray(occ_lib.pack_occupancy(jnp.asarray(ema), cfg))
+    lin = np.arange(g**3)
+    bits = ((words[lin >> 5] >> (lin & 31)) & 1).astype(bool)
+    want = np.where(bits, 1.0, cfg.floor).reshape(g * g, g).astype(np.float32)
+    np.testing.assert_array_equal(table, want)
+
+
+def test_effective_threshold_tracks_grid_mean():
+    """rel_threshold couples the cutoff to mean density (creep fix): haze
+    just above the absolute threshold stays pruned once real surfaces
+    dominate the EMA mass."""
+    cfg = small_cfg(threshold=1e-2, rel_threshold=1e-2)
+    g = cfg.resolution
+    ema = np.full((g, g, g), 0.02, np.float32)  # uniform haze, 2x absolute thr
+    ema[:2] = 400.0  # a dense surface slab dominating the mean
+    thr = float(occ_lib.effective_threshold(jnp.asarray(ema), cfg))
+    assert thr > 0.02, "cutoff must rise above the haze level"
+    mask = np.asarray(occ_lib.occupancy_mask(jnp.asarray(ema), cfg))
+    assert mask[:2].all() and not mask[2:].any()
+    # absolute-only behavior (rel=0): haze counts as occupied (the creep)
+    cfg0 = small_cfg(threshold=1e-2, rel_threshold=0.0)
+    mask0 = np.asarray(occ_lib.occupancy_mask(jnp.asarray(ema), cfg0))
+    assert mask0.all()
+    # with a near-empty grid the absolute floor still applies
+    lo = np.zeros((g, g, g), np.float32)
+    lo[0, 0, 0] = 0.5
+    thr_lo = float(occ_lib.effective_threshold(jnp.asarray(lo), cfg))
+    assert thr_lo == pytest.approx(cfg.threshold)
+
+
 # -------------------------------------------------------------------- query
+
+
+def dense_mask(ema, cfg):
+    """NumPy re-derivation of the effective-threshold occupancy mask."""
+    thr = max(cfg.threshold, cfg.rel_threshold * float(np.mean(ema)))
+    return ema > thr
 
 
 def query_reference(occ_dense, o, d, cfg, num_bins, near, far):
@@ -78,15 +123,15 @@ def test_query_bin_weights_matches_dense_lookup():
     g = cfg.resolution
     rng = np.random.default_rng(1)
     ema = rng.uniform(0.0, 0.03, size=(g, g, g)).astype(np.float32)
-    occ_dense = ema > cfg.threshold
-    words = occ_lib.pack_occupancy(jnp.asarray(ema), cfg)
+    occ_dense = dense_mask(ema, cfg)
+    table = occ_lib.pack_bin_table(jnp.asarray(ema), cfg)
 
     n = 64
     o = rng.normal(0, 2.0, size=(n, 3)).astype(np.float32)
     d = rng.normal(0, 1.0, size=(n, 3)).astype(np.float32)
     got = np.asarray(
         occ_lib.query_bin_weights(
-            words, jnp.asarray(o), jnp.asarray(d), cfg, cfg.num_bins, 2.0, 6.0
+            table, jnp.asarray(o), jnp.asarray(d), cfg, cfg.num_bins, 2.0, 6.0
         )
     )
     want = query_reference(occ_dense, o, d, cfg, cfg.num_bins, 2.0, 6.0)
@@ -95,13 +140,13 @@ def test_query_bin_weights_matches_dense_lookup():
 
 def test_query_out_of_bounds_is_empty_with_fallback():
     cfg = small_cfg()
-    words = occ_lib.pack_occupancy(
+    table = occ_lib.pack_bin_table(
         jnp.full((16, 16, 16), 1.0), cfg
     )  # fully occupied grid
     # ray entirely outside the AABB: origin far away pointing further away
     o = jnp.array([[100.0, 0.0, 0.0]])
     d = jnp.array([[1.0, 0.0, 0.0]])
-    w = occ_lib.query_bin_weights(words, o, d, cfg, cfg.num_bins, 2.0, 6.0)
+    w = occ_lib.query_bin_weights(table, o, d, cfg, cfg.num_bins, 2.0, 6.0)
     # fallback: all probes out of bounds -> uniform ones
     np.testing.assert_array_equal(np.asarray(w), np.ones((1, cfg.num_bins)))
 
@@ -175,15 +220,15 @@ def test_sampler_concentrates_where_occupied():
         zi = int(np.floor((z + cfg.bound) * (g / (2 * cfg.bound))))
         xi = int(np.floor((0.0 + cfg.bound) * (g / (2 * cfg.bound))))
         ema[xi, xi, zi] = 1.0
-    words = occ_lib.pack_occupancy(jnp.asarray(ema), cfg)
-    sampler = occ_lib.make_occupancy_sampler(words, cfg)
+    table = occ_lib.pack_bin_table(jnp.asarray(ema), cfg)
+    sampler = occ_lib.make_occupancy_sampler(table, cfg)
     _, ts = sampler(jax.random.PRNGKey(5), o, d, 8, near, far)
     ts = np.asarray(ts)[..., 0]
     # expected occupied bins from an independent dense-grid derivation (the
     # voxel size 0.4 exceeds the bin width 0.25, so neighbors of bins 4..7
     # sharing a voxel are legitimately occupied too)
     want = query_reference(
-        ema > cfg.threshold, np.asarray(o), np.asarray(d), cfg,
+        dense_mask(ema, cfg), np.asarray(o), np.asarray(d), cfg,
         cfg.num_bins, near, far,
     )[0]
     occupied_bins = np.nonzero(want)[0]
@@ -223,8 +268,8 @@ def test_render_rays_with_trivial_occupancy_sampler_shapes():
     cfg = small_cfg()
     nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
     params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
-    words = occ_lib.pack_occupancy(occ_lib.init_grid(cfg), cfg, force_all=True)
-    sampler = occ_lib.make_occupancy_sampler(words, cfg)
+    table = occ_lib.pack_bin_table(occ_lib.init_grid(cfg), cfg, force_all=True)
+    sampler = occ_lib.make_occupancy_sampler(table, cfg)
     o = jnp.zeros((16, 3))
     d = jax.random.normal(jax.random.PRNGKey(1), (16, 3)) - jnp.array([0, 0, 2.0])
     out = jax.jit(
@@ -474,7 +519,7 @@ def test_score_uses_checkpoint_grid(fixture_scene, tmp_path):
     t.fit()
     ckpt = next((tmp_path / "occ-score" / "checkpoints").glob("*.ckpt"))
 
-    _, _, _, grid = load_state_for_inference(ckpt)
+    _, _, _, grid, _ = load_state_for_inference(ckpt)
     assert grid is not None and grid.shape == (16, 16, 16)
 
     psnr_grid, _ = score_cli.calculate_scores(
@@ -494,17 +539,17 @@ def test_floor_blends_occupied_and_empty_bins():
     g = cfg.resolution
     rng = np.random.default_rng(7)
     ema = rng.uniform(0.0, 0.03, size=(g, g, g)).astype(np.float32)
-    words = occ_lib.pack_occupancy(jnp.asarray(ema), cfg)
+    table = occ_lib.pack_bin_table(jnp.asarray(ema), cfg)
     n = 32
     o = rng.normal(0, 1.5, size=(n, 3)).astype(np.float32)
     d = rng.normal(0, 1.0, size=(n, 3)).astype(np.float32)
     got = np.asarray(
         occ_lib.query_bin_weights(
-            words, jnp.asarray(o), jnp.asarray(d), cfg, cfg.num_bins, 2.0, 6.0
+            table, jnp.asarray(o), jnp.asarray(d), cfg, cfg.num_bins, 2.0, 6.0
         )
     )
     want = query_reference(
-        ema > cfg.threshold, o, d, cfg, cfg.num_bins, 2.0, 6.0
+        dense_mask(ema, cfg), o, d, cfg, cfg.num_bins, 2.0, 6.0
     )
     np.testing.assert_array_equal(got, want)
     # floor actually present: some weights strictly between 0/fallback and 1
@@ -620,8 +665,8 @@ def test_eval_step_uses_occupancy_sampler():
     # a half-occupied grid: losses must be finite and (generically) differ
     # from the uniform-sampled losses because coarse samples move
     ema = jnp.zeros((16, 16, 16)).at[:8].set(1.0)
-    words = occ_lib.pack_occupancy(ema, cfg)
-    m_occ = eval_occ(params, o, d, rgb, key, words)
+    table = occ_lib.pack_bin_table(ema, cfg)
+    m_occ = eval_occ(params, o, d, rgb, key, table)
     m_uni = eval_uni(params, o, d, rgb, key)
     assert np.isfinite(float(m_occ["val_loss"]))
     assert np.isfinite(float(m_uni["val_loss"]))

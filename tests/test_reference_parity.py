@@ -440,7 +440,7 @@ def test_export_checkpoint_loads_into_reference_model(ref, tmp_path):
     convert_ckpt.convert_checkpoint(str(pl_path), str(back))
     header2, _ = ckpt_lib.load_checkpoint(back)
     from minimal_nerf_tpu.training.trainer import load_state_for_inference
-    params2, _, _, _ = load_state_for_inference(str(back))
+    params2, _, _, _, _ = load_state_for_inference(str(back))
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

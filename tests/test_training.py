@@ -442,3 +442,56 @@ def test_metrics_logger_fresh_run_truncates_stale_csv(tmp_path):
     with open(tmp_path / "metrics.csv", newline="") as f:
         rows = list(_csv.DictReader(f))
     assert [int(r["step"]) for r in rows] == [1, 2]
+
+
+def test_batched_eval_matches_per_frame_loop(fixture_scene):
+    """make_batched_eval_step reproduces the per-frame eval loop exactly
+    (same RNG stream per frame, mean over frames)."""
+    from minimal_nerf_tpu.training.loop import make_batched_eval_step, make_eval_step
+
+    scene = SyntheticScene.load(fixture_scene, "val")
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(num_rays=64, precision="fp32")
+    params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
+    base_key = jax.random.PRNGKey(42)
+    step = 7
+    arrays = scene.device_arrays()
+
+    eval_fn = make_eval_step(nerf_cfg, train_cfg)
+    losses = []
+    for idx in range(scene.num_frames):
+        key = jax.random.fold_in(base_key, 10_000_000 + step + idx)
+        batch = scene.ray_batch(key, idx, train_cfg.num_rays, arrays=arrays)
+        m = eval_fn(
+            params, batch["origin"], batch["direc"], batch["rgb"],
+            jax.random.fold_in(key, 1),
+        )
+        losses.append(jax.device_get(m))
+    want = {k: float(np.mean([m[k] for m in losses])) for k in losses[0]}
+
+    eval_all = make_batched_eval_step(nerf_cfg, train_cfg, scene_static(scene))
+    got = jax.device_get(
+        eval_all(params, arrays["images"], arrays["poses"], step, base_key)
+    )
+    for k, v in want.items():
+        np.testing.assert_allclose(float(got[k]), v, rtol=1e-6, err_msg=k)
+
+
+def test_auto_resume_fresh_run_does_not_adopt_stale_csv(fixture_scene, tmp_path):
+    """--ckpt auto with NO checkpoint on disk is a fresh run: it must not
+    append to a stale metrics.csv from a previous same-name run."""
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    cfg = TrainConfig(
+        num_rays=32, max_steps=2, cropping_epochs=0, log_every=1,
+        check_val_every_n_epoch=1000, ckpt_every_steps=1000, precision="fp32",
+    )
+    run_dir = tmp_path / "stale"
+    run_dir.mkdir()
+    (run_dir / "metrics.csv").write_text("step,bogus\n999,1.0\n")
+    t = Trainer(
+        nerf_cfg, cfg, fixture_scene, tmp_path, name="stale",
+        resume_ckpt="auto",
+    )
+    t.fit()
+    csv = (run_dir / "metrics.csv").read_text()
+    assert "bogus" not in csv and "999" not in csv.splitlines()[1]

@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="fuse N train steps per dispatch via lax.scan")
     parser.add_argument("--log-every", type=int, default=100,
                         help="steps between metric fetches/CSV rows")
+    parser.add_argument("--val-render-every", type=int, default=1,
+                        help="render the validation recon image only every "
+                             "Nth validation boundary (val losses always "
+                             "run; 1 = reference behavior, an image per "
+                             "validation)")
     parser.add_argument("--wandb", type=str, default=None, metavar="PROJECT",
                         help="mirror scalars/images to this Weights & Biases "
                              "project (the reference always logs to "
@@ -103,6 +108,16 @@ def build_parser() -> argparse.ArgumentParser:
                              default="reference",
                              help="in-bin jitter (reference parity) vs linear "
                                   "CDF interpolation (sort-free TPU fast path)")
+    full_parser.add_argument("--fast", action="store_true",
+                             help="the validated fast recipe in one flag: "
+                                  "expands to --occupancy -c 16 -f 48 "
+                                  "--steps-per-call 20 (quality-neutral vs "
+                                  "the 64+128 production config at ~2.6x "
+                                  "throughput — PERFORMANCE.md/CONFIGS.md). "
+                                  "Explicitly-passed values win over the "
+                                  "preset. Empty-background scenes should "
+                                  "add a crop warmup (-cr, reference "
+                                  "CONFIGS.md ship recipe)")
     full_parser.add_argument("--occupancy", action="store_true",
                              help="occupancy-grid accelerated coarse sampling "
                                   "(opt-in; concentrates samples in occupied "
@@ -110,8 +125,21 @@ def build_parser() -> argparse.ArgumentParser:
                                   "quality — see PERFORMANCE.md)")
     full_parser.add_argument("--occ-resolution", type=int, default=64,
                              help="occupancy grid cells per axis")
+    full_parser.add_argument("--occ-bound", type=float, default=3.2,
+                             help="occupancy grid AABB half-extent (world "
+                                  "units); content outside it is permanently "
+                                  "down-weighted to --occ-floor")
     full_parser.add_argument("--occ-threshold", type=float, default=1e-2,
-                             help="density threshold for an occupied cell")
+                             help="absolute density threshold for an "
+                                  "occupied cell")
+    full_parser.add_argument("--occ-rel-threshold", type=float, default=1e-2,
+                             help="scene-relative threshold component: the "
+                                  "effective cutoff is max(--occ-threshold, "
+                                  "REL * mean(ema)); keeps the cutoff above "
+                                  "late-run free-space haze (0 = round-2 "
+                                  "absolute-only behavior)")
+    full_parser.add_argument("--occ-decay", type=float, default=0.9,
+                             help="per-update density EMA decay")
     full_parser.add_argument("--occ-update-every", type=int, default=16,
                              help="train steps between grid EMA updates")
     full_parser.add_argument("--occ-warmup-steps", type=int, default=256,
@@ -177,9 +205,32 @@ def make_render_fn(kernel: str):
     return None
 
 
+def apply_fast_preset(args, parser_defaults) -> None:
+    """Expand ``--fast`` into the validated fast-recipe flags (in place).
+
+    Preset: ``--occupancy -c 16 -f 48 --steps-per-call 20`` — the
+    quality-neutral ~2.6x-throughput recipe from PERFORMANCE.md (the
+    reference documents its recipes as CONFIGS.md prose, ``CONFIGS.md:9-20``;
+    here the headline recipe is one switch). A value the user passed
+    explicitly (detected as differing from the parser default) wins over
+    the preset.
+    """
+    preset = {"occupancy": True, "coarse": 16, "fine": 48, "steps_per_call": 20}
+    for field, value in preset.items():
+        if getattr(args, field) == parser_defaults[field]:
+            setattr(args, field, value)
+
+
+_FAST_PRESET_DEFAULTS = {
+    "occupancy": False, "coarse": 64, "fine": 128, "steps_per_call": 1,
+}
+
+
 def train_full_nerf(args) -> None:
     from minimal_nerf_tpu.training.trainer import Trainer
 
+    if getattr(args, "fast", False):
+        apply_fast_preset(args, _FAST_PRESET_DEFAULTS)
     nerf_cfg = NeRFConfig(
         position_dim=args.position_encoding,
         direction_dim=args.direction_encoding,
@@ -197,10 +248,14 @@ def train_full_nerf(args) -> None:
         seed=args.seed,
         steps_per_call=args.steps_per_call,
         log_every=args.log_every,
+        val_render_every=args.val_render_every,
         kernel=resolve_kernel(args.kernel),
         occupancy=args.occupancy,
         occ_resolution=args.occ_resolution,
+        occ_bound=args.occ_bound,
         occ_threshold=args.occ_threshold,
+        occ_rel_threshold=args.occ_rel_threshold,
+        occ_decay=args.occ_decay,
         occ_update_every=args.occ_update_every,
         occ_warmup_steps=args.occ_warmup_steps,
         occ_num_bins=args.occ_num_bins,
