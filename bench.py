@@ -6,10 +6,9 @@ scan-fused multi-step):
 
 - the **fast recipe** (``--fast``: occupancy-guided sampling, 16 coarse + 48
   fine) — the HEADLINE metric. Quality-neutral vs the 64+128 production
-  config at equal steps: 42.02 vs 42.01 dB at 12k steps AND at
-  reference-length 120k steps (PERFORMANCE.md "Occupancy-grid sampling A/B"
-  and "Reference-length quality parity" — like-for-like same-scene/seed
-  pairs, kernel-consistent scoring).
+  config at equal steps (like-for-like same-scene/seed pairs,
+  kernel-consistent scoring: 42.02 vs 42.01 dB at 12k steps, PERFORMANCE.md
+  "Occupancy-grid sampling A/B").
 - the **production config** (uniform 64+128, exact reference sampling
   semantics), reported alongside in the same JSON object.
 
@@ -138,7 +137,7 @@ def main() -> None:
     production = max(results.values())
 
     # the --fast recipe (occupancy 16+48): quality-neutral at equal steps on
-    # the like-for-like pairs (12k AND reference-length 120k, PERFORMANCE.md)
+    # the like-for-like 12k pair (PERFORMANCE.md "Occupancy-grid sampling A/B")
     fast = None
     try:
         fast_nerf_cfg = NeRFConfig(coarse_samples=16, fine_samples=48)

@@ -76,11 +76,11 @@ def build_render_chunk(
 
         from minimal_nerf_tpu.ops import occupancy as occ_lib
 
-        occ_table = occ_lib.pack_bin_table(
+        occ_words = occ_lib.pack_occupancy(
             jnp.asarray(occ_grid), occ_cfg,
             force_all=ckpt_step < occ_cfg.warmup_steps,
         )
-        coarse_sampler = occ_lib.make_occupancy_sampler(occ_table, occ_cfg)
+        coarse_sampler = occ_lib.make_occupancy_sampler(occ_words, occ_cfg)
 
     # "auto" renders through the kernel the checkpoint trained under (the
     # weights adapt to that kernel's numerics)

@@ -16,14 +16,16 @@ TPU-first design decisions:
   grid redistributes *where* the samples land (piecewise-constant inverse
   CDF over the per-ray bin-occupancy weights), not how many there are. No
   dynamic shapes, no ragged compaction — XLA sees one fixed program.
-- **Row-gather weight table**: the hot-path grid representation is a
-  ``[G*G, G]`` float32 table of z-rows (``pack_bin_table``) so the per-step
-  bin probes are a major-axis row gather + in-row ``take_along_axis`` — the
-  layout XLA gathers natively on TPU (same pattern as the u32 pixel-word
-  packing in ``data.synthetic``; TPU has no hardware gather, and the
-  previous per-element gathers from a bit-packed word table cost 1.9 ms of
-  a 13.6 ms step). A bit-packed form (``pack_occupancy``, 32 KiB) remains
-  for compact serialization/debugging.
+- **Bit-packed grid**: occupancy is ``G^3`` bits packed 32/word
+  (``64^3 -> 32 KiB``), so the per-ray bin queries are 4-byte gathers from a
+  table small enough to stay cache/VMEM-resident. A measured NEGATIVE result
+  (round 3, PERFORMANCE.md "Bin-query layout A/B"): restructuring the grid
+  as a ``[G*G, G]`` float32 row-gather table (the layout that makes PIXEL
+  gathers ~free in ``data.synthetic``) is 2.3 ms/step SLOWER at production
+  shapes — the bin query issues 64x more probes than the pixel gather
+  (N*B = 262k/step), so fetching a 256-byte z-row per probe turns 1 MB of
+  gather traffic into 67 MB. Per-element word gathers remain the best known
+  lowering; ``--occ-num-bins 32`` halves the cost at coarser guidance.
 - **In-jit EMA updates**: the grid update (evaluate both MLPs' densities at
   jittered cell centers, ``ema = max(decay * ema, sigma)``) is a
   ``lax.cond`` branch inside the train step, so scan-fused multi-step
@@ -157,8 +159,11 @@ def pack_occupancy(
 ) -> jnp.ndarray:
     """Threshold the EMA grid into bit-packed occupancy words.
 
-    Compact (``G^3`` bits = 32 KiB at G=64) serialization/debug form; the hot
-    sampling path uses ``pack_bin_table`` instead (see its docstring for why).
+    This is the hot-path representation AND the serialization form: 4-byte
+    per-element gathers from the 32 KiB word table are the fastest known
+    lowering for the per-step bin query (see the module docstring's layout
+    A/B — a float row-gather table is 2.3 ms/step slower at production
+    shapes because it multiplies gather traffic 64x).
 
     Args:
         ema: ``[G, G, G]`` density EMAs.
@@ -174,39 +179,8 @@ def pack_occupancy(
     return jnp.sum(bits << shifts[None, :], axis=1, dtype=jnp.uint32)
 
 
-def bin_table_from_mask(mask: jnp.ndarray, cfg: OccupancyConfig) -> jnp.ndarray:
-    """``[G*G, G]`` float32 per-cell sampling weights from an occupancy mask.
-
-    Row ``x*G + y`` holds the z-line of cells ``(x, y, :)``; occupied cells
-    weigh 1.0, empty in-AABB cells ``cfg.floor`` (out-of-AABB handling happens
-    at query time — every table cell is inside the AABB by construction).
-    """
-    return jnp.where(
-        mask, jnp.float32(1.0), jnp.float32(cfg.floor)
-    ).reshape(cfg.resolution * cfg.resolution, cfg.resolution)
-
-
-def pack_bin_table(
-    ema: jnp.ndarray, cfg: OccupancyConfig, force_all: jnp.ndarray | bool = False
-) -> jnp.ndarray:
-    """Threshold the EMA grid into the row-gather weight table.
-
-    This is the hot-path representation: TPU has no hardware gather, and the
-    per-step bin query's ``N * B`` (262k at production shapes) random scalar
-    gathers from the bit-packed 32 KiB word table lowered to 1.9 ms/step —
-    14% of the fast-recipe step (PERFORMANCE.md round 2). Restructured as the
-    layout XLA gathers natively (cf. ``data.synthetic.pack_images``): fetch
-    whole 64-cell z-rows with a major-axis row gather, then select the z lane
-    with an in-row ``take_along_axis``.
-
-    Returns:
-        ``[G*G, G]`` float32 (1 MiB at G=64): 1.0 occupied, ``cfg.floor`` empty.
-    """
-    return bin_table_from_mask(occupancy_mask(ema, cfg, force_all), cfg)
-
-
 def query_bin_weights(
-    occ_table: jnp.ndarray,
+    occ_words: jnp.ndarray,
     o_rays: jnp.ndarray,
     d_rays: jnp.ndarray,
     cfg: OccupancyConfig,
@@ -222,7 +196,7 @@ def query_bin_weights(
     no positive-weight probe fall back to uniform weights.
 
     Args:
-        occ_table: ``[G*G, G]`` weight table from ``pack_bin_table``.
+        occ_words: ``[G^3 // 32]`` uint32 words from ``pack_occupancy``.
 
     Returns:
         ``[N, B]`` float32 weights.
@@ -236,13 +210,13 @@ def query_bin_weights(
     v = jnp.floor((pos + cfg.bound) * scale).astype(jnp.int32)
     in_bounds = jnp.all((v >= 0) & (v < g), axis=-1)  # [N,B]
     vc = jnp.clip(v, 0, g - 1)
-    # two-level gather (the TPU-native pattern, cf. data.synthetic
-    # .gather_pixels): whole z-rows by major-axis index, then the z lane
-    row = (vc[..., 0] * g + vc[..., 1]).reshape(-1)  # [N*B]
-    rows = occ_table[row]  # [N*B, G] row gather
-    z = vc[..., 2].reshape(-1)
-    vals = jnp.take_along_axis(rows, z[:, None], axis=1)[:, 0]
-    weights = vals.reshape(in_bounds.shape) * in_bounds  # out-of-AABB -> 0
+    lin = (vc[..., 0] * g + vc[..., 1]) * g + vc[..., 2]  # [N,B]
+    words = occ_words[lin >> 5]  # gather from the 32KiB word table
+    bit = (words >> (lin & 31).astype(jnp.uint32)) & jnp.uint32(1)
+    occ = (bit != 0) & in_bounds
+    weights = jnp.where(
+        occ, 1.0, jnp.where(in_bounds, jnp.float32(cfg.floor), 0.0)
+    ).astype(jnp.float32)
     any_mass = jnp.sum(weights, axis=1, keepdims=True) > 0
     return jnp.where(any_mass, weights, jnp.ones_like(weights))
 
@@ -319,19 +293,19 @@ def occupancy_coarse_samples(
 
 
 def make_occupancy_sampler(
-    occ_table: jnp.ndarray, cfg: OccupancyConfig, num_bins: int = 0
+    occ_words: jnp.ndarray, cfg: OccupancyConfig, num_bins: int = 0
 ) -> Callable:
     """A ``coarse_sampler`` hook (signature of ``generate_coarse_samples``)
     that concentrates samples in occupied bins via the packed grid.
 
     Args:
-        occ_table: ``[G*G, G]`` weight table from ``pack_bin_table``.
+        occ_words: ``[G^3 // 32]`` uint32 words from ``pack_occupancy``.
     """
     bins = num_bins or cfg.num_bins
 
     def sampler(key, o_rays, d_rays, num_samples, near, far):
         weights = query_bin_weights(
-            occ_table, o_rays, d_rays, cfg, bins, near, far
+            occ_words, o_rays, d_rays, cfg, bins, near, far
         )
         return occupancy_coarse_samples(
             key, o_rays, d_rays, weights, num_samples, near, far,

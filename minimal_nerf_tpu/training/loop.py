@@ -180,8 +180,8 @@ def make_occupancy_loss(occupancy_cfg, base_loss_fn: Callable = nerf_loss) -> Ca
     from minimal_nerf_tpu.ops import occupancy as occ_lib
 
     def loss_fn(params, nerf_cfg, o_rays, d_rays, rgb, key,
-                compute_dtype=None, mlp_apply=None, occ_table=None):
-        sampler = occ_lib.make_occupancy_sampler(occ_table, occupancy_cfg)
+                compute_dtype=None, mlp_apply=None, occ_words=None):
+        sampler = occ_lib.make_occupancy_sampler(occ_words, occupancy_cfg)
         return base_loss_fn(
             params, nerf_cfg, o_rays, d_rays, rgb, key,
             compute_dtype, mlp_apply, coarse_sampler=sampler,
@@ -201,8 +201,8 @@ def _occ_step_context(occupancy_cfg, nerf_cfg, compute_dtype, params, grid,
     ``shard_map``) — identical inputs give identical grids on every device.
 
     Returns:
-        ``(grid, occ_table, occ_fraction)`` — ``occ_table`` is the
-        ``[G*G, G]`` row-gather weight table (``ops.occupancy.pack_bin_table``).
+        ``(grid, occ_words, occ_fraction)`` — ``occ_words`` is the bit-packed
+        occupancy table (``ops.occupancy.pack_occupancy``).
     """
     from minimal_nerf_tpu.ops import occupancy as occ_lib
 
@@ -219,10 +219,11 @@ def _occ_step_context(occupancy_cfg, nerf_cfg, compute_dtype, params, grid,
         grid,
     )
     warm = step < occupancy_cfg.warmup_steps
-    mask = occ_lib.occupancy_mask(grid, occupancy_cfg, force_all=warm)
-    occ_table = occ_lib.bin_table_from_mask(mask, occupancy_cfg)
-    occ_fraction = jnp.mean(mask.astype(jnp.float32))
-    return grid, occ_table, occ_fraction
+    occ_words = occ_lib.pack_occupancy(grid, occupancy_cfg, force_all=warm)
+    occ_fraction = jnp.sum(
+        jax.lax.population_count(occ_words)
+    ).astype(jnp.float32) / (occ_words.size * 32)
+    return grid, occ_words, occ_fraction
 
 
 def sample_train_batch(
@@ -429,11 +430,11 @@ def make_train_step(
 
     def occ_step_fn(params, opt_state, grid, images, poses, step, base_key):
         key = jax.random.fold_in(base_key, step)
-        grid, occ_table, occ_fraction = _occ_step_context(
+        grid, occ_words, occ_fraction = _occ_step_context(
             occupancy_cfg, nerf_cfg, compute_dtype, params, grid, step, key
         )
         params, opt_state, metrics = run_step(
-            params, opt_state, images, poses, step, base_key, ctx=(occ_table,)
+            params, opt_state, images, poses, step, base_key, ctx=(occ_words,)
         )
         metrics = dict(metrics, lr=lr_sched(step), occ_fraction=occ_fraction)
         return params, opt_state, grid, metrics
@@ -604,12 +605,12 @@ def make_multi_step(
         def one_step(carry, step):
             params, opt_state, grid = carry
             key = jax.random.fold_in(base_key, step)
-            grid, occ_table, occ_fraction = _occ_step_context(
+            grid, occ_words, occ_fraction = _occ_step_context(
                 occupancy_cfg, nerf_cfg, compute_dtype, params, grid, step, key
             )
             params, opt_state, metrics = run_step(
                 params, opt_state, images, poses, step, base_key,
-                ctx=(occ_table,),
+                ctx=(occ_words,),
             )
             metrics = dict(metrics, occ_fraction=occ_fraction)
             return (params, opt_state, grid), metrics

@@ -346,7 +346,7 @@ class Trainer:
             # partially-formed grid the train step never sampled from
             from minimal_nerf_tpu.ops import occupancy as occ_lib
 
-            occ_ctx = (occ_lib.pack_bin_table(
+            occ_ctx = (occ_lib.pack_occupancy(
                 self._grid, self._occ_cfg,
                 force_all=step < self._occ_cfg.warmup_steps,
             ),)

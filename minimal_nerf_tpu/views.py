@@ -171,11 +171,11 @@ def make_occ_param_render_chunk(
     config: NeRFConfig, occ_cfg, compute_dtype=None, mlp_apply=None,
     render_fn=None,
 ) -> Callable:
-    """A render_chunk threading ``(params, occ_table)`` as its state argument.
+    """A render_chunk threading ``(params, occ_words)`` as its state argument.
 
     For occupancy-trained models whose grid CHANGES between views (trainer
-    validation): the packed bin-weight table (``ops.occupancy.pack_bin_table``)
-    flows through the jitted sweep as an argument alongside params, so the
+    validation): the packed occupancy words (``ops.occupancy.pack_occupancy``)
+    flow through the jitted sweep as an argument alongside params, so the
     sweep compiles once per run.
     """
     from minimal_nerf_tpu.ops import occupancy as occ_lib
@@ -183,8 +183,8 @@ def make_occ_param_render_chunk(
     render = render_fn if render_fn is not None else render_rays
 
     def render_chunk_p(state, o, d, key):
-        params, occ_table = state
-        sampler = occ_lib.make_occupancy_sampler(occ_table, occ_cfg)
+        params, occ_words = state
+        sampler = occ_lib.make_occupancy_sampler(occ_words, occ_cfg)
         out = render(
             params, config, o, d, key, compute_dtype=compute_dtype,
             mlp_apply=mlp_apply, coarse_sampler=sampler,

@@ -54,20 +54,19 @@ def test_pack_occupancy_force_all():
     assert (words_off == 0).all()
 
 
-def test_bin_table_matches_bitpacked_mask():
-    """The hot-path row-gather table and the bit-packed serialization form
-    must describe the SAME occupancy set."""
-    cfg = small_cfg(floor=0.25)
+def test_pack_occupancy_uses_effective_threshold():
+    """pack_occupancy thresholds through occupancy_mask (incl. the
+    rel_threshold component), not the raw absolute cutoff."""
+    cfg = small_cfg(floor=0.25, threshold=1e-2, rel_threshold=1e-2)
     g = cfg.resolution
     rng = np.random.default_rng(3)
     ema = rng.uniform(0.0, 0.03, size=(g, g, g)).astype(np.float32)
-    table = np.asarray(occ_lib.pack_bin_table(jnp.asarray(ema), cfg))
-    assert table.shape == (g * g, g) and table.dtype == np.float32
+    ema[:2] = 400.0  # dense slab pushes the effective cutoff above 0.03
     words = np.asarray(occ_lib.pack_occupancy(jnp.asarray(ema), cfg))
     lin = np.arange(g**3)
-    bits = ((words[lin >> 5] >> (lin & 31)) & 1).astype(bool)
-    want = np.where(bits, 1.0, cfg.floor).reshape(g * g, g).astype(np.float32)
-    np.testing.assert_array_equal(table, want)
+    bits = ((words[lin >> 5] >> (lin & 31)) & 1).astype(bool).reshape(g, g, g)
+    np.testing.assert_array_equal(bits, dense_mask(ema, cfg))
+    assert bits[:2].all() and not bits[2:].any()
 
 
 def test_effective_threshold_tracks_grid_mean():
@@ -124,14 +123,14 @@ def test_query_bin_weights_matches_dense_lookup():
     rng = np.random.default_rng(1)
     ema = rng.uniform(0.0, 0.03, size=(g, g, g)).astype(np.float32)
     occ_dense = dense_mask(ema, cfg)
-    table = occ_lib.pack_bin_table(jnp.asarray(ema), cfg)
+    words = occ_lib.pack_occupancy(jnp.asarray(ema), cfg)
 
     n = 64
     o = rng.normal(0, 2.0, size=(n, 3)).astype(np.float32)
     d = rng.normal(0, 1.0, size=(n, 3)).astype(np.float32)
     got = np.asarray(
         occ_lib.query_bin_weights(
-            table, jnp.asarray(o), jnp.asarray(d), cfg, cfg.num_bins, 2.0, 6.0
+            words, jnp.asarray(o), jnp.asarray(d), cfg, cfg.num_bins, 2.0, 6.0
         )
     )
     want = query_reference(occ_dense, o, d, cfg, cfg.num_bins, 2.0, 6.0)
@@ -140,13 +139,13 @@ def test_query_bin_weights_matches_dense_lookup():
 
 def test_query_out_of_bounds_is_empty_with_fallback():
     cfg = small_cfg()
-    table = occ_lib.pack_bin_table(
+    words = occ_lib.pack_occupancy(
         jnp.full((16, 16, 16), 1.0), cfg
     )  # fully occupied grid
     # ray entirely outside the AABB: origin far away pointing further away
     o = jnp.array([[100.0, 0.0, 0.0]])
     d = jnp.array([[1.0, 0.0, 0.0]])
-    w = occ_lib.query_bin_weights(table, o, d, cfg, cfg.num_bins, 2.0, 6.0)
+    w = occ_lib.query_bin_weights(words, o, d, cfg, cfg.num_bins, 2.0, 6.0)
     # fallback: all probes out of bounds -> uniform ones
     np.testing.assert_array_equal(np.asarray(w), np.ones((1, cfg.num_bins)))
 
@@ -220,8 +219,8 @@ def test_sampler_concentrates_where_occupied():
         zi = int(np.floor((z + cfg.bound) * (g / (2 * cfg.bound))))
         xi = int(np.floor((0.0 + cfg.bound) * (g / (2 * cfg.bound))))
         ema[xi, xi, zi] = 1.0
-    table = occ_lib.pack_bin_table(jnp.asarray(ema), cfg)
-    sampler = occ_lib.make_occupancy_sampler(table, cfg)
+    words = occ_lib.pack_occupancy(jnp.asarray(ema), cfg)
+    sampler = occ_lib.make_occupancy_sampler(words, cfg)
     _, ts = sampler(jax.random.PRNGKey(5), o, d, 8, near, far)
     ts = np.asarray(ts)[..., 0]
     # expected occupied bins from an independent dense-grid derivation (the
@@ -268,8 +267,8 @@ def test_render_rays_with_trivial_occupancy_sampler_shapes():
     cfg = small_cfg()
     nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
     params = init_nerf_network(jax.random.PRNGKey(0), nerf_cfg)
-    table = occ_lib.pack_bin_table(occ_lib.init_grid(cfg), cfg, force_all=True)
-    sampler = occ_lib.make_occupancy_sampler(table, cfg)
+    words = occ_lib.pack_occupancy(occ_lib.init_grid(cfg), cfg, force_all=True)
+    sampler = occ_lib.make_occupancy_sampler(words, cfg)
     o = jnp.zeros((16, 3))
     d = jax.random.normal(jax.random.PRNGKey(1), (16, 3)) - jnp.array([0, 0, 2.0])
     out = jax.jit(
@@ -539,13 +538,13 @@ def test_floor_blends_occupied_and_empty_bins():
     g = cfg.resolution
     rng = np.random.default_rng(7)
     ema = rng.uniform(0.0, 0.03, size=(g, g, g)).astype(np.float32)
-    table = occ_lib.pack_bin_table(jnp.asarray(ema), cfg)
+    words = occ_lib.pack_occupancy(jnp.asarray(ema), cfg)
     n = 32
     o = rng.normal(0, 1.5, size=(n, 3)).astype(np.float32)
     d = rng.normal(0, 1.0, size=(n, 3)).astype(np.float32)
     got = np.asarray(
         occ_lib.query_bin_weights(
-            table, jnp.asarray(o), jnp.asarray(d), cfg, cfg.num_bins, 2.0, 6.0
+            words, jnp.asarray(o), jnp.asarray(d), cfg, cfg.num_bins, 2.0, 6.0
         )
     )
     want = query_reference(
@@ -665,8 +664,8 @@ def test_eval_step_uses_occupancy_sampler():
     # a half-occupied grid: losses must be finite and (generically) differ
     # from the uniform-sampled losses because coarse samples move
     ema = jnp.zeros((16, 16, 16)).at[:8].set(1.0)
-    table = occ_lib.pack_bin_table(ema, cfg)
-    m_occ = eval_occ(params, o, d, rgb, key, table)
+    words = occ_lib.pack_occupancy(ema, cfg)
+    m_occ = eval_occ(params, o, d, rgb, key, words)
     m_uni = eval_uni(params, o, d, rgb, key)
     assert np.isfinite(float(m_occ["val_loss"]))
     assert np.isfinite(float(m_uni["val_loss"]))
