@@ -38,6 +38,8 @@ def main() -> None:
     parser.add_argument("--occ-floor", type=float, default=0.25)
     parser.add_argument("--occ-num-bins", type=int, default=64)
     parser.add_argument("--occ-no-jitter", action="store_true")
+    parser.add_argument("--occ-grid-source", default="both",
+                        choices=("both", "coarse", "fine"))
     parser.add_argument("--name", default="demo",
                         help="run name under --out (for A/B comparisons)")
     parser.add_argument("--scene", choices=["field", "object"], default="field",
@@ -75,7 +77,8 @@ def main() -> None:
     ]
     if args.occupancy:
         argv += ["--occupancy", "--occ-floor", str(args.occ_floor),
-                 "--occ-num-bins", str(args.occ_num_bins)]
+                 "--occ-num-bins", str(args.occ_num_bins),
+                 "--occ-grid-source", args.occ_grid_source]
         if args.occ_no_jitter:
             argv.append("--occ-no-jitter")
     train_nerf.main(argv)

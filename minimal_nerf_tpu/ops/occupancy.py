@@ -98,6 +98,17 @@ class OccupancyConfig:
             ``nerf_helpers.py:50``; ts re-sorted after). False = exact
             piecewise-constant CDF inverse (deterministic given the shared
             per-ray eps; already sorted).
+        grid_source: which network's density feeds the EMA updates —
+            ``"both"`` (max over coarse+fine), ``"coarse"``, or ``"fine"``.
+            Measured (round 3, 120k-step object-scene run): under
+            grid-concentrated sampling the FINE net only ever sees samples
+            near surfaces, so it hallucinates density in the never-sampled
+            empty space (42% of cells above threshold outside the object,
+            q99 density ~13) and ``max(coarse, fine)`` drives occ_fraction
+            to ~0.6-0.7 — THE root cause of the round-2 "threshold creep".
+            The coarse net's floor-mass uniform sweep supervises empty
+            space, keeping its field crisp (~3% occupied). ``"coarse"``
+            builds the grid from the well-supervised field only.
     """
 
     resolution: int = 64
@@ -110,9 +121,13 @@ class OccupancyConfig:
     num_bins: int = 64
     floor: float = 0.25
     in_bin_jitter: bool = True
+    grid_source: str = "both"
+
+    _GRID_SOURCES = ("both", "coarse", "fine")
 
     def __post_init__(self):
         assert (self.resolution**3) % 32 == 0, self.resolution
+        assert self.grid_source in self._GRID_SOURCES, self.grid_source
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -328,10 +343,12 @@ def update_grid_ema(
 ) -> jnp.ndarray:
     """One EMA update: ``ema = max(decay * ema, sigma(model, jittered centers))``.
 
-    Evaluates BOTH the coarse and the fine MLP's density at one jittered
-    point per cell and takes the max — conservative: a cell stays occupied
-    while either network still places mass there (the grid gates where the
-    *coarse* net gets samples, but quality is judged through the fine net).
+    Evaluates the density of the net(s) selected by ``cfg.grid_source`` at
+    one jittered point per cell (max-reduced across nets for ``"both"``).
+    See ``OccupancyConfig.grid_source`` for why ``"coarse"`` is the healthy
+    choice under grid-concentrated sampling: the fine net hallucinates
+    density in space it is never sampled in, and folding it in via max()
+    degrades the grid toward uniform.
 
     Args:
         ema: ``[G, G, G]`` current EMAs.
@@ -362,8 +379,11 @@ def update_grid_ema(
     # before the direction features join, models/mlp.py); any unit dir works
     dirs = jnp.tile(jnp.array([[0.0, 0.0, -1.0]], jnp.float32), (eval_rows, 1))
 
+    nets = (
+        ("coarse", "fine") if cfg.grid_source == "both" else (cfg.grid_source,)
+    )
     sigma = None
-    for name in ("coarse", "fine"):
+    for name in nets:
         density, _ = apply_fn(
             params[name], pts, dirs, position_dim, direction_dim,
             compute_dtype=compute_dtype,

@@ -73,6 +73,11 @@ class TrainConfig:
     occ_num_bins: int = 64
     occ_floor: float = 0.25
     occ_in_bin_jitter: bool = True
+    # which net's density feeds the grid EMA ("both" | "coarse" | "fine").
+    # Under grid-concentrated sampling the fine net hallucinates density in
+    # never-sampled empty space, so max(coarse, fine) creeps occ_fraction
+    # toward uniform (ops.occupancy.OccupancyConfig.grid_source).
+    occ_grid_source: str = "both"
 
     @property
     def occupancy_config(self):
@@ -92,6 +97,7 @@ class TrainConfig:
             num_bins=self.occ_num_bins,
             floor=self.occ_floor,
             in_bin_jitter=self.occ_in_bin_jitter,
+            grid_source=self.occ_grid_source,
         )
 
     def to_dict(self) -> Dict[str, Any]:

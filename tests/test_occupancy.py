@@ -259,6 +259,37 @@ def test_update_grid_ema_decays_and_tracks_density():
     assert np.median(e1) <= cfg.decay * 5.0 + 1e-5
 
 
+def test_update_grid_ema_grid_source_selects_net():
+    """grid_source='coarse' must ignore the fine net's density (the fine net
+    hallucinates in never-sampled empty space under concentrated sampling)."""
+    cfg_all = {
+        src: small_cfg(grid_source=src) for src in ("both", "coarse", "fine")
+    }
+    params = {"coarse": {"d": 0.5}, "fine": {"d": 10.0}}
+
+    def fake_apply(p, pts, dirs, pd, dd, compute_dtype=None):
+        return jnp.full(pts.shape[:-1] + (1,), p["d"]), None
+
+    ema0 = jnp.zeros((16, 16, 16))
+    out = {
+        src: float(
+            occ_lib.update_grid_ema(
+                ema0, params, 10, 4, cfg, jax.random.PRNGKey(0),
+                mlp_apply=fake_apply,
+            ).max()
+        )
+        for src, cfg in cfg_all.items()
+    }
+    assert out["coarse"] == 0.5
+    assert out["fine"] == 10.0
+    assert out["both"] == 10.0  # max over nets
+
+
+def test_grid_source_validated():
+    with pytest.raises(AssertionError):
+        small_cfg(grid_source="bogus")
+
+
 # --------------------------------------------------------- render integration
 
 

@@ -140,6 +140,12 @@ def build_parser() -> argparse.ArgumentParser:
                                   "absolute-only behavior)")
     full_parser.add_argument("--occ-decay", type=float, default=0.9,
                              help="per-update density EMA decay")
+    full_parser.add_argument("--occ-grid-source", default="both",
+                             choices=("both", "coarse", "fine"),
+                             help="which net's density feeds the grid EMA; "
+                                  "'coarse' avoids the fine net's "
+                                  "hallucinated density in never-sampled "
+                                  "empty space (occ_fraction creep)")
     full_parser.add_argument("--occ-update-every", type=int, default=16,
                              help="train steps between grid EMA updates")
     full_parser.add_argument("--occ-warmup-steps", type=int, default=256,
@@ -261,6 +267,7 @@ def train_full_nerf(args) -> None:
         occ_num_bins=args.occ_num_bins,
         occ_floor=args.occ_floor,
         occ_in_bin_jitter=not args.occ_no_jitter,
+        occ_grid_source=args.occ_grid_source,
     )
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
