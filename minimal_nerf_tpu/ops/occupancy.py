@@ -109,6 +109,10 @@ class OccupancyConfig:
             The coarse net's floor-mass uniform sweep supervises empty
             space, keeping its field crisp (~3% occupied). ``"coarse"``
             builds the grid from the well-supervised field only.
+        probe_method: lowering of the per-probe word lookup —
+            ``"gather"`` (per-element gathers) or ``"onehot"`` (MXU
+            one-hot matmul, ``_probe_bits_onehot``). Bit-identical
+            results; a pure performance choice.
     """
 
     resolution: int = 64
@@ -122,12 +126,14 @@ class OccupancyConfig:
     floor: float = 0.25
     in_bin_jitter: bool = True
     grid_source: str = "both"
+    probe_method: str = "gather"
 
     _GRID_SOURCES = ("both", "coarse", "fine")
 
     def __post_init__(self):
         assert (self.resolution**3) % 32 == 0, self.resolution
         assert self.grid_source in self._GRID_SOURCES, self.grid_source
+        assert self.probe_method in ("gather", "onehot"), self.probe_method
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -194,6 +200,53 @@ def pack_occupancy(
     return jnp.sum(bits << shifts[None, :], axis=1, dtype=jnp.uint32)
 
 
+def _probe_bits_gather(occ_words: jnp.ndarray, lin: jnp.ndarray) -> jnp.ndarray:
+    """Per-probe occupancy bits via per-element word gathers (the XLA
+    lowering: one scalar gather per probe; 1.9 ms at production shapes)."""
+    words = occ_words[lin >> 5]
+    return (words >> (lin & 31).astype(jnp.uint32)) & jnp.uint32(1)
+
+
+def _probe_bits_onehot(occ_words: jnp.ndarray, lin: jnp.ndarray) -> jnp.ndarray:
+    """Per-probe occupancy bits via a one-hot matmul — the MXU as a gather.
+
+    TPU has no hardware gather, so ``occ_words[lin >> 5]`` lowers to 262k
+    serial scalar probes at production shapes. This route resolves the
+    13-bit word index on the MXU instead: factor it as ``hi*64 + lo``,
+    multiply a ``[P, n_hi]`` one-hot of ``hi`` against a ``[n_hi, 128]``
+    table holding each word's two u16 halves (exact in f32), then select
+    lane ``lo*2 + half`` and extract the in-half bit with exact integer
+    arithmetic. ~4.3e9 exact-f32 MACs at production shapes — MXU noise; the
+    real cost is materializing the ``[P, n_hi]`` one-hot and ``[P, 128]``
+    row products through HBM. Bit-identical to ``_probe_bits_gather``.
+    """
+    n = occ_words.size
+    n_hi = -(-n // 64)
+    words = jnp.pad(occ_words, (0, n_hi * 64 - n))
+    # [n_hi, 64 words, 2 u16 halves] -> [n_hi, 128]; u16 values are exact f32
+    table = (
+        jnp.stack([words & 0xFFFF, words >> 16], axis=-1)
+        .astype(jnp.float32)
+        .reshape(n_hi, 128)
+    )
+    flat = lin.reshape(-1)
+    w = flat >> 5  # word index
+    oh_hi = (
+        (w >> 6)[:, None] == jnp.arange(n_hi, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)
+    rows = jax.lax.dot(
+        oh_hi, table, precision=jax.lax.Precision.HIGHEST
+    )  # [P, 128]
+    lane = ((w & 63) << 1) | ((flat >> 4) & 1)  # lo*2 + which u16 half
+    sel = lane[:, None] == jnp.arange(128, dtype=jnp.int32)[None, :]
+    half16 = jnp.sum(jnp.where(sel, rows, 0.0), axis=1).astype(jnp.int32)
+    bit = (half16 >> (flat & 15)) & 1
+    return bit.reshape(lin.shape).astype(jnp.uint32)
+
+
+_PROBE_METHODS = {"gather": _probe_bits_gather, "onehot": _probe_bits_onehot}
+
+
 def query_bin_weights(
     occ_words: jnp.ndarray,
     o_rays: jnp.ndarray,
@@ -202,6 +255,7 @@ def query_bin_weights(
     num_bins: int,
     near: float,
     far: float,
+    probe_method: str = "gather",
 ) -> jnp.ndarray:
     """Per-ray occupancy weights over ``num_bins`` uniform bins of [near, far].
 
@@ -212,6 +266,9 @@ def query_bin_weights(
 
     Args:
         occ_words: ``[G^3 // 32]`` uint32 words from ``pack_occupancy``.
+        probe_method: ``"gather"`` (per-element word gathers) or ``"onehot"``
+            (MXU one-hot matmul, ``_probe_bits_onehot``). Bit-identical
+            results; a pure lowering choice.
 
     Returns:
         ``[N, B]`` float32 weights.
@@ -226,8 +283,7 @@ def query_bin_weights(
     in_bounds = jnp.all((v >= 0) & (v < g), axis=-1)  # [N,B]
     vc = jnp.clip(v, 0, g - 1)
     lin = (vc[..., 0] * g + vc[..., 1]) * g + vc[..., 2]  # [N,B]
-    words = occ_words[lin >> 5]  # gather from the 32KiB word table
-    bit = (words >> (lin & 31).astype(jnp.uint32)) & jnp.uint32(1)
+    bit = _PROBE_METHODS[probe_method](occ_words, lin)
     occ = (bit != 0) & in_bounds
     weights = jnp.where(
         occ, 1.0, jnp.where(in_bounds, jnp.float32(cfg.floor), 0.0)
@@ -320,7 +376,8 @@ def make_occupancy_sampler(
 
     def sampler(key, o_rays, d_rays, num_samples, near, far):
         weights = query_bin_weights(
-            occ_words, o_rays, d_rays, cfg, bins, near, far
+            occ_words, o_rays, d_rays, cfg, bins, near, far,
+            probe_method=cfg.probe_method,
         )
         return occupancy_coarse_samples(
             key, o_rays, d_rays, weights, num_samples, near, far,

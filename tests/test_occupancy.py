@@ -259,6 +259,38 @@ def test_update_grid_ema_decays_and_tracks_density():
     assert np.median(e1) <= cfg.decay * 5.0 + 1e-5
 
 
+def test_probe_bits_onehot_matches_gather():
+    """The MXU one-hot probe lowering must be bit-identical to the gather
+    lowering, including over non-64-divisible word counts (padding path)."""
+    rng = np.random.default_rng(7)
+    for g in (16, 64):  # 128 words (n_hi=2) and 8192 words (n_hi=128)
+        n_words = g**3 // 32
+        words = jnp.asarray(
+            rng.integers(0, 2**32, size=n_words, dtype=np.uint32)
+        )
+        lin = jnp.asarray(
+            rng.integers(0, g**3, size=(257, 13), dtype=np.int32)
+        )
+        got = occ_lib._probe_bits_onehot(words, lin)
+        want = occ_lib._probe_bits_gather(words, lin)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_query_bin_weights_probe_methods_agree():
+    cfg = small_cfg(floor=0.25)
+    g = cfg.resolution
+    rng = np.random.default_rng(5)
+    ema = jnp.asarray(rng.uniform(0, 0.03, (g, g, g)).astype(np.float32))
+    words = occ_lib.pack_occupancy(ema, cfg)
+    o = jnp.asarray(rng.normal(0, 0.5, (33, 3)).astype(np.float32))
+    d = jnp.asarray(rng.normal(0, 1, (33, 3)).astype(np.float32))
+    a = occ_lib.query_bin_weights(words, o, d, cfg, 16, 2.0, 6.0,
+                                  probe_method="gather")
+    b = occ_lib.query_bin_weights(words, o, d, cfg, 16, 2.0, 6.0,
+                                  probe_method="onehot")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_update_grid_ema_grid_source_selects_net():
     """grid_source='coarse' must ignore the fine net's density (the fine net
     hallucinates in never-sampled empty space under concentrated sampling)."""
