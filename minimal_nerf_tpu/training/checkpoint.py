@@ -25,6 +25,40 @@ import jax
 import numpy as np
 
 
+def device_fetch_batched(tree):
+    """Fetch a whole pytree in ONE host transfer per dtype group.
+
+    Over the axon-tunneled TPU each array fetch pays a full roundtrip
+    (~tens of ms); fetching a ~60-leaf train state leaf-by-leaf costs
+    seconds — measured as the dominant cost of a checkpoint boundary
+    (round 3). Concatenating the raveled leaves on-device first turns 60
+    roundtrips into one-per-dtype. Non-array leaves pass through.
+    """
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    idx_by_dtype: Dict[Any, list] = {}
+    for i, leaf in enumerate(leaves):
+        if hasattr(leaf, "dtype") and hasattr(leaf, "shape"):
+            idx_by_dtype.setdefault(np.dtype(leaf.dtype), []).append(i)
+    packed = {
+        str(d): jnp.concatenate([jnp.ravel(leaves[i]) for i in idx])
+        if len(idx) > 1
+        else jnp.ravel(leaves[idx[0]])
+        for d, idx in idx_by_dtype.items()
+    }
+    host = jax.device_get(packed)
+    out = list(leaves)
+    for d, idx in idx_by_dtype.items():
+        buf = host[str(d)]
+        off = 0
+        for i in idx:
+            n = int(np.prod(leaves[i].shape, dtype=np.int64))
+            out[i] = buf[off:off + n].reshape(leaves[i].shape)
+            off += n
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def save_checkpoint(
     path,
     params,
@@ -124,8 +158,10 @@ def save_checkpoint_async(
     with _SAVE_POOL_LOCK:
         if _SAVE_POOL is None:
             _SAVE_POOL = ThreadPoolExecutor(max_workers=1, thread_name_prefix="ckpt")
-    host_state = jax.tree_util.tree_map(
-        lambda x: np.asarray(x), {"params": params, "opt_state": opt_state}
+    # one batched transfer, not one roundtrip per leaf (device_fetch_batched
+    # docstring: leaf-by-leaf fetches cost seconds over the axon tunnel)
+    host_state = device_fetch_batched(
+        {"params": params, "opt_state": opt_state}
     )
     return _SAVE_POOL.submit(
         save_checkpoint,

@@ -295,7 +295,9 @@ class Trainer:
 
             if step % cfg.log_every == 0 or step == cfg.max_steps:
                 fetched = {
-                    k: float(v) for k, v in jax.device_get(pending_metrics).items()
+                    k: float(v) for k, v in ckpt_lib.device_fetch_batched(
+                        pending_metrics
+                    ).items()
                 }
                 now = time.perf_counter()
                 it_s = steps_since_log / (now - t_last)
@@ -309,8 +311,19 @@ class Trainer:
             epoch_end = step % self.steps_per_epoch == 0
             epoch = step // self.steps_per_epoch
             if epoch_end and epoch % cfg.check_val_every_n_epoch == 0:
+                # time the boundary work: over the axon tunnel, host-side
+                # boundary costs (eager dispatches, device->host fetches)
+                # can dominate reference-length wall time — keep them
+                # observable in metrics.csv
+                t0 = time.perf_counter()
                 self.validate(params, step)
+                t_val = time.perf_counter() - t0
+                t0 = time.perf_counter()
                 self.save(params, opt_state, step)
+                self.logger.log_scalars(step, {
+                    "val_seconds": t_val,
+                    "ckpt_seconds": time.perf_counter() - t0,
+                })
             elif step % cfg.ckpt_every_steps == 0:
                 self.save(params, opt_state, step)
 
@@ -369,7 +382,10 @@ class Trainer:
                 params, arrays["images"], arrays["poses"], step,
                 self.base_key, *occ_ctx,
             )
-            mean = {k: float(v) for k, v in jax.device_get(m).items()}
+            mean = {
+                k: float(v)
+                for k, v in ckpt_lib.device_fetch_batched(m).items()
+            }
         else:
             losses = []
             for idx in range(self.val_scene.num_frames):

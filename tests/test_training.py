@@ -59,6 +59,33 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_device_fetch_batched_roundtrip():
+    """The single-transfer fetch must reproduce every leaf bitwise across
+    mixed dtypes, 0-d leaves, bools, and non-array passthroughs."""
+    import jax.numpy as jnp
+
+    tree = {
+        "a": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+        "b": {"c": jnp.asarray(3, jnp.int32),
+              "d": jnp.asarray([[True, False]])},
+        "e": jnp.linspace(0, 1, 7, dtype=jnp.bfloat16),
+        "f": jnp.zeros((2, 0, 3), jnp.float32),
+        "g": "passthrough",
+        "h": jnp.asarray(2.5, jnp.float32),
+    }
+    out = ckpt_lib.device_fetch_batched(tree)
+    assert out["g"] == "passthrough"
+    flat_in = jax.tree_util.tree_leaves(
+        {k: v for k, v in tree.items() if k != "g"})
+    flat_out = jax.tree_util.tree_leaves(
+        {k: v for k, v in out.items() if k != "g"})
+    for a, b in zip(flat_in, flat_out):
+        assert isinstance(b, np.ndarray) or np.isscalar(b)
+        assert np.asarray(b).dtype == np.asarray(a).dtype
+        assert np.asarray(b).shape == a.shape
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_name_parsing():
     name = ckpt_lib.checkpoint_name("lego", 1089, 108999)
     assert name == "model=lego-epoch=1089-step=108999.ckpt"
