@@ -53,6 +53,19 @@ def test_ssim_matches_skimage_if_available():
     assert abs(ours - theirs) < 1e-7
 
 
+def test_psnr_matches_opencv():
+    """Cross-check PSNR against OpenCV's independent implementation
+    (cv2.PSNR, same 255 data range for uint8) — the one third-party metric
+    implementation available in this environment (skimage is not)."""
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    b = np.clip(a.astype(int) + rng.integers(-30, 31, a.shape), 0, 255).astype(
+        np.uint8
+    )
+    assert abs(peak_signal_noise_ratio(a, b) - cv2.PSNR(a, b)) < 1e-9
+
+
 def test_ssim_uniform_shift():
     # constant-luminance shift: variance terms identical, only luminance term differs
     a = np.full((32, 32), 100, dtype=np.uint8)
