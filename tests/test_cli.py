@@ -207,6 +207,41 @@ def test_train_full_cli_fast_flag(fixture_scene, tmp_path):
     assert TrainConfig.from_dict(header["train_config"]).occupancy
 
 
+def test_progressive_resume_changes_sample_budget(fixture_scene, tmp_path):
+    """A fast-recipe checkpoint resumes under a bigger sample budget (the
+    progressive fast-then-finish schedule): params/opt/grid restore across a
+    -c/-f change, training continues from the saved step, and the finish
+    config is what lands in the new checkpoint."""
+    common = [
+        "-n", "prog", "-r", "64", "-rd", str(tmp_path),
+        "--precision", "fp32", "--steps-per-call", "2",
+    ]
+    occ = ["--occ-resolution", "16", "--occ-warmup-steps", "2",
+           "--occ-update-every", "2"]
+    train_nerf.main(
+        common + ["-s", "4", "full", "-b", str(fixture_scene), "-cr", "0",
+                  "--fast"] + occ
+    )
+    ck1 = sorted((tmp_path / "prog" / "checkpoints").glob("*.ckpt"))
+    assert ck1
+    # finish: resume auto, production budget, occupancy still on
+    train_nerf.main(
+        common + ["-s", "8", "-l", "auto", "full", "-b", str(fixture_scene),
+                  "-cr", "0", "--occupancy", "-c", "64", "-f", "128"] + occ
+    )
+    ck2 = sorted(
+        (tmp_path / "prog" / "checkpoints").glob("*.ckpt"),
+        key=lambda p: int(p.stem.split("step=")[1]),
+    )
+    from minimal_nerf_tpu.models.nerf import NeRFConfig
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+
+    header, _ = ckpt_lib.load_checkpoint(str(ck2[-1]))
+    assert header["step"] == 8
+    ncfg = NeRFConfig.from_dict(header["nerf_config"])
+    assert ncfg.coarse_samples == 64 and ncfg.fine_samples == 128
+
+
 def test_val_render_every_skips_images(fixture_scene, tmp_path):
     """val_render_every=N renders the recon image on every Nth validation
     only; val losses still log at every boundary."""
