@@ -32,7 +32,6 @@ from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network, render_s
 from minimal_nerf_tpu.training import checkpoint as ckpt_lib
 from minimal_nerf_tpu.training.config import TrainConfig
 from minimal_nerf_tpu.training.loop import (
-    make_eval_step,
     make_train_step,
     nerf_loss,
     scene_static,
@@ -131,13 +130,9 @@ class Trainer:
                 mlp_apply=mlp_apply, loss_fn=loss_fn,
                 occupancy_cfg=self._occ_cfg,
             )
-        self.eval_fn = (
-            make_eval_step(nerf_config, train_config, mesh=mesh,
-                           mlp_apply=mlp_apply, render_fn=render_fn,
-                           occupancy_cfg=self._occ_cfg)
-            if mode == "full"
-            else self._make_single_eval()
-        )
+        # full-mode validation goes through make_batched_eval_step (built
+        # lazily in validate()); only single mode needs a per-batch eval fn
+        self.eval_fn = None if mode == "full" else self._make_single_eval()
         self.base_key = jax.random.key(
             train_config.seed, impl=train_config.rng_impl
         )
@@ -184,10 +179,9 @@ class Trainer:
 
             grid = occ_lib.init_grid(self._occ_cfg)
         start_step = 0
+        # __init__ already resolved the 'auto' sentinel to a concrete path
+        # or None (the metrics logger needs the answer at construction time)
         resume = self.resume_ckpt
-        if resume == "auto":
-            latest = ckpt_lib.latest_checkpoint(self.ckpt_dir)
-            resume = str(latest) if latest else None
         if resume:
             header, leaves = ckpt_lib.load_checkpoint(resume)
             if self._occ_cfg is not None:
@@ -405,9 +399,12 @@ class Trainer:
 
         # reconstruct one random val view (reference nerf_model.py:199-203),
         # every val_render_every-th validation boundary (the render is the
-        # expensive half of a validation; losses above run every time)
-        self._val_count = getattr(self, "_val_count", 0) + 1
-        if (self._val_count - 1) % max(cfg.val_render_every, 1) != 0:
+        # expensive half of a validation; losses above run every time). The
+        # validation index derives from step so the cadence is resume-stable
+        # (an in-memory counter would reset at every restart).
+        val_period = self.steps_per_epoch * max(cfg.check_val_every_n_epoch, 1)
+        val_index = step // val_period - 1  # first boundary renders
+        if val_index % max(cfg.val_render_every, 1) != 0:
             return mean["val_loss"]
         im_idx = int(
             jax.random.randint(

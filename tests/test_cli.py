@@ -177,6 +177,18 @@ def test_fast_preset_expansion():
     args2 = parser.parse_args(["-n", "x", "full", "--fast", "-c", "32"])
     train_nerf.apply_fast_preset(args2, train_nerf._FAST_PRESET_DEFAULTS)
     assert args2.coarse == 32 and args2.fine == 48 and args2.occupancy
+    # an explicit value EQUAL to the normal default still wins over the preset
+    args3 = parser.parse_args(
+        ["-n", "x", "--steps-per-call", "1", "full", "--fast", "-c", "64"]
+    )
+    train_nerf.apply_fast_preset(args3, train_nerf._FAST_PRESET_DEFAULTS)
+    assert args3.coarse == 64 and args3.fine == 48
+    assert args3.steps_per_call == 1 and args3.occupancy
+    # without --fast, the None sentinels resolve to the normal defaults
+    args4 = parser.parse_args(["-n", "x", "full"])
+    train_nerf.apply_fast_preset(args4, train_nerf._FAST_PRESET_DEFAULTS)
+    assert args4.coarse == 64 and args4.fine == 128
+    assert args4.steps_per_call == 1 and not args4.occupancy
 
 
 def test_train_full_cli_fast_flag(fixture_scene, tmp_path):

@@ -65,8 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
                              "kernel; 'fused' = fully-fused ray-march kernel "
                              "(MLP + compositing, TPU only); 'auto' = fused "
                              "on TPU, xla elsewhere")
-    parser.add_argument("--steps-per-call", type=int, default=1,
-                        help="fuse N train steps per dispatch via lax.scan")
+    parser.add_argument("--steps-per-call", type=int, default=None,
+                        help="fuse N train steps per dispatch via lax.scan "
+                             "(default: 1)")
     parser.add_argument("--log-every", type=int, default=100,
                         help="steps between metric fetches/CSV rows")
     parser.add_argument("--val-render-every", type=int, default=1,
@@ -94,10 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
     full_parser.add_argument("-b", "--base_dir", type=str,
                              default="./data/nerf_synthetic/lego/",
                              help="directory for dataset")
-    full_parser.add_argument("-c", "--coarse", type=int, default=64,
-                             help="number of coarse samples")
-    full_parser.add_argument("-f", "--fine", type=int, default=128,
-                             help="number of fine samples")
+    full_parser.add_argument("-c", "--coarse", type=int, default=None,
+                             help="number of coarse samples (default: 64)")
+    full_parser.add_argument("-f", "--fine", type=int, default=None,
+                             help="number of fine samples (default: 128)")
     full_parser.add_argument("-nr", "--near", type=float, default=2.0,
                              help="near bound for dataset")
     full_parser.add_argument("-fr", "--far", type=float, default=6.0,
@@ -118,7 +119,7 @@ def build_parser() -> argparse.ArgumentParser:
                                   "preset. Empty-background scenes should "
                                   "add a crop warmup (-cr, reference "
                                   "CONFIGS.md ship recipe)")
-    full_parser.add_argument("--occupancy", action="store_true",
+    full_parser.add_argument("--occupancy", action="store_true", default=None,
                              help="occupancy-grid accelerated coarse sampling "
                                   "(opt-in; concentrates samples in occupied "
                                   "space so -c/-f can be reduced at equal "
@@ -218,12 +219,21 @@ def apply_fast_preset(args, parser_defaults) -> None:
     quality-neutral ~2.6x-throughput recipe from PERFORMANCE.md (the
     reference documents its recipes as CONFIGS.md prose, ``CONFIGS.md:9-20``;
     here the headline recipe is one switch). A value the user passed
-    explicitly (detected as differing from the parser default) wins over
-    the preset.
+    explicitly wins over the preset — even one equal to the normal default
+    (e.g. ``--fast -c 64``), hence the None parser sentinels.
     """
-    preset = {"occupancy": True, "coarse": 16, "fine": 48, "steps_per_call": 20}
-    for field, value in preset.items():
-        if getattr(args, field) == parser_defaults[field]:
+    if getattr(args, "fast", False):
+        preset = {
+            "occupancy": True, "coarse": 16, "fine": 48, "steps_per_call": 20,
+        }
+        for field, value in preset.items():
+            if getattr(args, field) is None:
+                setattr(args, field, value)
+    # fields the user left unset (and the preset didn't fill) get the normal
+    # defaults — the parser uses None sentinels so an explicit `-c 64` is
+    # distinguishable from an omitted -c (it must beat the --fast preset)
+    for field, value in parser_defaults.items():
+        if getattr(args, field) is None:
             setattr(args, field, value)
 
 
@@ -235,8 +245,7 @@ _FAST_PRESET_DEFAULTS = {
 def train_full_nerf(args) -> None:
     from minimal_nerf_tpu.training.trainer import Trainer
 
-    if getattr(args, "fast", False):
-        apply_fast_preset(args, _FAST_PRESET_DEFAULTS)
+    apply_fast_preset(args, _FAST_PRESET_DEFAULTS)
     nerf_cfg = NeRFConfig(
         position_dim=args.position_encoding,
         direction_dim=args.direction_encoding,
@@ -283,6 +292,8 @@ def train_full_nerf(args) -> None:
 def train_single_nerf(args) -> None:
     from minimal_nerf_tpu.training.trainer import Trainer
 
+    if args.steps_per_call is None:
+        args.steps_per_call = 1
     nerf_cfg = NeRFConfig(
         position_dim=args.position_encoding,
         direction_dim=args.direction_encoding,
