@@ -38,7 +38,7 @@ def main() -> None:
     parser.add_argument("--occ-floor", type=float, default=0.25)
     parser.add_argument("--occ-num-bins", type=int, default=64)
     parser.add_argument("--occ-no-jitter", action="store_true")
-    parser.add_argument("--occ-grid-source", default="both",
+    parser.add_argument("--occ-grid-source", default="coarse",
                         choices=("both", "coarse", "fine"))
     parser.add_argument("--name", default="demo",
                         help="run name under --out (for A/B comparisons)")

@@ -108,7 +108,10 @@ class OccupancyConfig:
             to ~0.6-0.7 — THE root cause of the round-2 "threshold creep".
             The coarse net's floor-mass uniform sweep supervises empty
             space, keeping its field crisp (~3% occupied). ``"coarse"``
-            builds the grid from the well-supervised field only.
+            builds the grid from the well-supervised field only; it is the
+            DEFAULT after the 120k-step object-scene A/B: occ_fraction flat
+            at 0.027 (true occupancy) vs 0.548 for "both", and +0.90 dB
+            test PSNR (45.15 vs 44.25, PERFORMANCE.md "Grid-source A/B").
         probe_method: lowering of the per-probe word lookup —
             ``"gather"`` (per-element gathers) or ``"onehot"`` (MXU
             one-hot matmul, ``_probe_bits_onehot``). Bit-identical
@@ -125,7 +128,7 @@ class OccupancyConfig:
     num_bins: int = 64
     floor: float = 0.25
     in_bin_jitter: bool = True
-    grid_source: str = "both"
+    grid_source: str = "coarse"
     probe_method: str = "gather"
 
     _GRID_SOURCES = ("both", "coarse", "fine")

@@ -118,6 +118,13 @@ class MetricsLogger:
     def elapsed(self) -> float:
         return time.perf_counter() - self._t0
 
+    def close(self) -> None:
+        """Finish the wandb run (if any) so a successor logger in the same
+        process (progressive-schedule phase 2) starts its own cleanly."""
+        if self._wandb is not None:
+            self._wandb.finish()
+            self._wandb = None
+
 
 class NullLogger:
     """No-op logger for non-primary processes of a multihost run.
@@ -138,3 +145,6 @@ class NullLogger:
 
     def elapsed(self) -> float:
         return 0.0
+
+    def close(self) -> None:
+        pass

@@ -254,6 +254,52 @@ def test_progressive_resume_changes_sample_budget(fixture_scene, tmp_path):
     assert ncfg.coarse_samples == 64 and ncfg.fine_samples == 128
 
 
+def test_finish_steps_one_flag_progressive(fixture_scene, tmp_path):
+    """--finish-steps runs the fast-then-finish schedule in ONE invocation:
+    phase 1 at the configured budget to steps-N, phase 2 resumed at the
+    --finish-coarse/--finish-fine budget to steps; a relaunch with -l auto
+    finds both phases complete and is a no-op (no mislabeled checkpoint)."""
+    from minimal_nerf_tpu.models.nerf import NeRFConfig
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+
+    argv = [
+        "-n", "prog1", "-s", "8", "-r", "64", "-rd", str(tmp_path),
+        "--precision", "fp32", "--steps-per-call", "2",
+        "full", "-b", str(fixture_scene), "-cr", "0", "--fast",
+        "--finish-steps", "4", "--finish-coarse", "12", "--finish-fine", "12",
+        "--occ-resolution", "16", "--occ-warmup-steps", "2",
+        "--occ-update-every", "2",
+    ]
+    train_nerf.main(argv)
+    cks = sorted(
+        (tmp_path / "prog1" / "checkpoints").glob("*.ckpt"),
+        key=lambda p: int(p.stem.split("step=")[1]),
+    )
+    steps = [int(p.stem.split("step=")[1]) for p in cks]
+    assert steps[-1] == 8 and 4 in steps  # phase-1 end + final
+    header, _ = ckpt_lib.load_checkpoint(str(cks[-1]))
+    ncfg = NeRFConfig.from_dict(header["nerf_config"])
+    assert ncfg.coarse_samples == 12 and ncfg.fine_samples == 12
+    h4, _ = ckpt_lib.load_checkpoint(str(cks[steps.index(4)]))
+    n4 = NeRFConfig.from_dict(h4["nerf_config"])
+    assert n4.coarse_samples == 16 and n4.fine_samples == 48  # --fast budget
+
+    # idempotent relaunch: everything already trained -> both phases no-op
+    mtimes = {p.name: p.stat().st_mtime_ns for p in cks}
+    train_nerf.main(argv[:12] + ["-l", "auto"] + argv[12:])
+    cks2 = sorted((tmp_path / "prog1" / "checkpoints").glob("*.ckpt"))
+    assert {p.name for p in cks2} == set(mtimes)
+    final = max(cks2, key=lambda p: int(p.stem.split("step=")[1]))
+    assert final.stat().st_mtime_ns == mtimes[final.name]
+
+
+def test_finish_steps_validation():
+    with pytest.raises(SystemExit):
+        train_nerf.main([
+            "-n", "x", "-s", "10", "full", "--finish-steps", "10",
+        ])
+
+
 def test_val_render_every_skips_images(fixture_scene, tmp_path):
     """val_render_every=N renders the recon image on every Nth validation
     only; val losses still log at every boundary."""

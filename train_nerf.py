@@ -118,7 +118,29 @@ def build_parser() -> argparse.ArgumentParser:
                                   "Explicitly-passed values win over the "
                                   "preset. Empty-background scenes should "
                                   "add a crop warmup (-cr, reference "
-                                  "CONFIGS.md ship recipe)")
+                                  "CONFIGS.md ship recipe); reference-length "
+                                  "runs should add --finish-steps (the "
+                                  "16+48 budget saturates early — "
+                                  "PERFORMANCE.md reference-length A/B)")
+    full_parser.add_argument("--finish-steps", type=int, default=0,
+                             metavar="N",
+                             help="progressive schedule: train the LAST N "
+                                  "steps at the production sample budget "
+                                  "(--finish-coarse/--finish-fine, default "
+                                  "64+128), everything before at the "
+                                  "configured budget (e.g. --fast's 16+48). "
+                                  "Closes the low-budget quality gap at "
+                                  "reference length for a fraction of the "
+                                  "uniform cost (PERFORMANCE.md "
+                                  "'progressive schedule'); implemented as "
+                                  "an in-process resume with a changed "
+                                  "budget, so an interrupted run relaunched "
+                                  "with -l auto continues correctly")
+    full_parser.add_argument("--finish-coarse", type=int, default=64,
+                             help="coarse samples for the --finish-steps "
+                                  "phase")
+    full_parser.add_argument("--finish-fine", type=int, default=128,
+                             help="fine samples for the --finish-steps phase")
     full_parser.add_argument("--occupancy", action="store_true", default=None,
                              help="occupancy-grid accelerated coarse sampling "
                                   "(opt-in; concentrates samples in occupied "
@@ -141,12 +163,13 @@ def build_parser() -> argparse.ArgumentParser:
                                   "absolute-only behavior)")
     full_parser.add_argument("--occ-decay", type=float, default=0.9,
                              help="per-update density EMA decay")
-    full_parser.add_argument("--occ-grid-source", default="both",
+    full_parser.add_argument("--occ-grid-source", default="coarse",
                              choices=("both", "coarse", "fine"),
                              help="which net's density feeds the grid EMA; "
-                                  "'coarse' avoids the fine net's "
+                                  "'coarse' (default) avoids the fine net's "
                                   "hallucinated density in never-sampled "
-                                  "empty space (occ_fraction creep)")
+                                  "empty space (occ_fraction creep; +0.9 dB "
+                                  "on the 120k object-scene A/B)")
     full_parser.add_argument("--occ-update-every", type=int, default=16,
                              help="train steps between grid EMA updates")
     full_parser.add_argument("--occ-warmup-steps", type=int, default=256,
@@ -243,9 +266,17 @@ _FAST_PRESET_DEFAULTS = {
 
 
 def train_full_nerf(args) -> None:
+    import dataclasses
+
     from minimal_nerf_tpu.training.trainer import Trainer
 
     apply_fast_preset(args, _FAST_PRESET_DEFAULTS)
+    finish = getattr(args, "finish_steps", 0) or 0
+    if finish < 0 or finish >= args.steps:
+        raise SystemExit(
+            f"--finish-steps must be in [0, steps); got {finish} of "
+            f"{args.steps}"
+        )
     nerf_cfg = NeRFConfig(
         position_dim=args.position_encoding,
         direction_dim=args.direction_encoding,
@@ -278,15 +309,43 @@ def train_full_nerf(args) -> None:
         occ_in_bin_jitter=not args.occ_no_jitter,
         occ_grid_source=args.occ_grid_source,
     )
+    mesh = make_mesh_or_none(args.data_parallel, args.multihost)
+    kernel = resolve_kernel(args.kernel)
+    if finish:
+        # progressive schedule, phase 1: the configured (cheap) budget up to
+        # steps - finish. Phase 2 below resumes the phase-1 checkpoint at
+        # the production budget (resume-under-changed-sample-budget is the
+        # tested mechanism, tests/test_training.py). fit() is a no-op when a
+        # relaunch finds phase 1 already complete.
+        train_cfg = dataclasses.replace(
+            train_cfg, max_steps=args.steps - finish
+        )
     trainer = Trainer(
         nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
         resume_ckpt=args.ckpt,
-        mesh=make_mesh_or_none(args.data_parallel, args.multihost),
-        mlp_apply=make_mlp_apply(resolve_kernel(args.kernel)),
-        render_fn=make_render_fn(resolve_kernel(args.kernel)),
+        mesh=mesh,
+        mlp_apply=make_mlp_apply(kernel),
+        render_fn=make_render_fn(kernel),
         wandb_project=args.wandb,
     )
     trainer.fit()
+    if finish:
+        trainer.logger.close()
+        nerf_cfg2 = dataclasses.replace(
+            nerf_cfg,
+            coarse_samples=args.finish_coarse,
+            fine_samples=args.finish_fine,
+        )
+        train_cfg2 = dataclasses.replace(train_cfg, max_steps=args.steps)
+        trainer2 = Trainer(
+            nerf_cfg2, train_cfg2, args.base_dir, args.root_dir,
+            name=args.name, resume_ckpt="auto",
+            mesh=mesh,
+            mlp_apply=make_mlp_apply(kernel),
+            render_fn=make_render_fn(kernel),
+            wandb_project=args.wandb,
+        )
+        trainer2.fit()
 
 
 def train_single_nerf(args) -> None:
