@@ -115,7 +115,10 @@ class OccupancyConfig:
         probe_method: lowering of the per-probe word lookup —
             ``"gather"`` (per-element gathers) or ``"onehot"`` (MXU
             one-hot matmul, ``_probe_bits_onehot``). Bit-identical
-            results; a pure performance choice.
+            results; a pure performance choice. ``"onehot"`` is the
+            default after the in-run A/B at fast-recipe production shapes:
+            11.8 vs 13.5 ms/step (347k vs 301k rays/s), identical losses
+            (PERFORMANCE.md "Bin-query lowering").
     """
 
     resolution: int = 64
@@ -129,7 +132,7 @@ class OccupancyConfig:
     floor: float = 0.25
     in_bin_jitter: bool = True
     grid_source: str = "coarse"
-    probe_method: str = "gather"
+    probe_method: str = "onehot"
 
     _GRID_SOURCES = ("both", "coarse", "fine")
 
@@ -258,7 +261,7 @@ def query_bin_weights(
     num_bins: int,
     near: float,
     far: float,
-    probe_method: str = "gather",
+    probe_method: str = "onehot",
 ) -> jnp.ndarray:
     """Per-ray occupancy weights over ``num_bins`` uniform bins of [near, far].
 
