@@ -322,6 +322,20 @@ def test_grid_source_validated():
         small_cfg(grid_source="bogus")
 
 
+def test_measured_defaults_pinned():
+    """The A/B-backed defaults (PERFORMANCE.md round 3): grid EMA fed by the
+    coarse net only (+0.9 dB, occ_fraction at true occupancy on the 120k
+    object-scene A/B) and the one-hot MXU bin-probe lowering (11.8 vs 13.5
+    ms/step, bit-identical). A silent regression of either would look like
+    a quality/perf regression long before anyone checked the config."""
+    from minimal_nerf_tpu.ops.occupancy import OccupancyConfig
+    from minimal_nerf_tpu.training.config import TrainConfig
+
+    assert OccupancyConfig().grid_source == "coarse"
+    assert OccupancyConfig().probe_method == "onehot"
+    assert TrainConfig(occupancy=True).occupancy_config.grid_source == "coarse"
+
+
 # --------------------------------------------------------- render integration
 
 
