@@ -22,6 +22,13 @@ class TrainConfig:
     start_lr: float = 5e-4
     end_lr: float = 5e-5
     lr_decay_epochs: int = 1200
+    # lower bound on the per-epoch exponential decay (0 = reference parity:
+    # ExponentialLR decays without bound, nerf_model.py:134-143). On scenes
+    # with few train frames the epoch counter advances steps_per_epoch times
+    # faster than the Blender scenes the schedule was tuned for, starving
+    # the late run (lr ~1e-8 by step 100k on a 20-frame scene); a floor
+    # like 1e-5 keeps the tail trainable.
+    lr_floor: float = 0.0
     seed: int = 0
     # "bf16" casts matmul inputs to bfloat16 (fp32 params/accumulation) — the
     # TPU MXU fast path; "fp32" for exact-parity/debug runs.

@@ -57,10 +57,11 @@ def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> Callable:
     epoch (staircase), with epochs of ``steps_per_epoch`` steps.
     """
     gamma = (cfg.end_lr / cfg.start_lr) ** (1.0 / cfg.lr_decay_epochs)
+    floor = getattr(cfg, "lr_floor", 0.0) or 0.0
 
     def schedule(step):
         epoch = step // steps_per_epoch
-        return cfg.start_lr * gamma**epoch
+        return jnp.maximum(cfg.start_lr * gamma**epoch, floor)
 
     return schedule
 

@@ -33,6 +33,18 @@ def test_lr_schedule_reference_values():
     assert float(sched(2400 * 100)) < 5e-5
 
 
+def test_lr_floor_bounds_the_decay():
+    """--lr-floor clamps the unbounded per-epoch decay from below; 0 (the
+    default) preserves exact reference semantics."""
+    floored = make_lr_schedule(
+        TrainConfig(lr_floor=1e-5), steps_per_epoch=100
+    )
+    assert np.isclose(float(floored(0)), 5e-4)  # floor inactive early
+    assert np.isclose(float(floored(2400 * 100)), 1e-5)  # clamped late
+    ref = make_lr_schedule(TrainConfig(), steps_per_epoch=100)
+    assert float(ref(2400 * 100)) < 1e-5  # default still unbounded
+
+
 def test_checkpoint_roundtrip(tmp_path):
     nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
     train_cfg = TrainConfig(num_rays=32)

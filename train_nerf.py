@@ -141,6 +141,13 @@ def build_parser() -> argparse.ArgumentParser:
                                   "phase")
     full_parser.add_argument("--finish-fine", type=int, default=128,
                              help="fine samples for the --finish-steps phase")
+    full_parser.add_argument("--lr-floor", type=float, default=0.0,
+                             help="lower bound on the per-epoch exponential "
+                                  "LR decay (0 = reference parity: the decay "
+                                  "is unbounded). Scenes with few train "
+                                  "frames advance the epoch-based schedule "
+                                  "proportionally faster and starve the "
+                                  "late run; ~1e-5 keeps the tail trainable")
     full_parser.add_argument("--occupancy", action="store_true", default=None,
                              help="occupancy-grid accelerated coarse sampling "
                                   "(opt-in; concentrates samples in occupied "
@@ -308,6 +315,7 @@ def train_full_nerf(args) -> None:
         occ_floor=args.occ_floor,
         occ_in_bin_jitter=not args.occ_no_jitter,
         occ_grid_source=args.occ_grid_source,
+        lr_floor=args.lr_floor,
     )
     mesh = make_mesh_or_none(args.data_parallel, args.multihost)
     kernel = resolve_kernel(args.kernel)
