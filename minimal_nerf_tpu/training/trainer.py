@@ -204,16 +204,6 @@ class Trainer:
         """Run training to ``max_steps``. Returns the final params."""
         cfg = self.train_config
         params, opt_state, start_step = self.init_state()
-        if start_step >= cfg.max_steps:
-            # resumed at/past the target (e.g. phase 1 of an already-finished
-            # progressive run, or -s smaller than the checkpoint): nothing to
-            # train, and saving here would label the restored state with
-            # cfg.max_steps — a lie when start_step is beyond it
-            print(
-                f"[trainer] resume step {start_step} >= max_steps "
-                f"{cfg.max_steps}: nothing to do"
-            )
-            return params
         if jax.process_count() > 1:
             # resume reads each process's LOCAL filesystem; if only some
             # hosts see the checkpoint the processes would silently train
@@ -231,6 +221,19 @@ class Trainer:
                     "(shared filesystem) or pass an explicit --ckpt that "
                     "exists everywhere"
                 )
+        if start_step >= cfg.max_steps:
+            # resumed at/past the target (e.g. phase 1 of an already-finished
+            # progressive run, or -s smaller than the checkpoint): nothing to
+            # train, and saving here would label the restored state with
+            # cfg.max_steps — a lie when start_step is beyond it. This sits
+            # AFTER the multihost consistency check so divergent resumes
+            # raise there instead of deadlocking a collective with some
+            # processes already returned.
+            print(
+                f"[trainer] resume step {start_step} >= max_steps "
+                f"{cfg.max_steps}: nothing to do"
+            )
+            return params
         grid = self._grid
         arrays = self.train_scene.device_arrays()
         if self.mesh is not None:

@@ -293,6 +293,40 @@ def test_finish_steps_one_flag_progressive(fixture_scene, tmp_path):
     assert final.stat().st_mtime_ns == mtimes[final.name]
 
 
+def test_finish_steps_explicit_ckpt_past_phase1(fixture_scene, tmp_path):
+    """-l <explicit ckpt> already at/past the phase-1 target: phase 1 is a
+    no-op that saves nothing, and phase 2 must resume from the EXPLICIT
+    checkpoint (the run dir is empty) instead of training from scratch."""
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+
+    donor_root = tmp_path / "donor"
+    train_nerf.main([
+        "-n", "donor", "-s", "6", "-r", "64", "-rd", str(donor_root),
+        "--precision", "fp32",
+        "full", "-b", str(fixture_scene), "-c", "8", "-f", "8", "-cr", "0",
+    ])
+    donor_ck = sorted(
+        (donor_root / "donor" / "checkpoints").glob("*.ckpt"),
+        key=lambda p: int(p.stem.split("step=")[1]),
+    )[-1]
+    train_nerf.main([
+        "-n", "prog2", "-s", "8", "-r", "64", "-rd", str(tmp_path),
+        "--precision", "fp32", "-l", str(donor_ck),
+        "full", "-b", str(fixture_scene), "-c", "8", "-f", "8", "-cr", "0",
+        "--finish-steps", "4", "--finish-coarse", "12", "--finish-fine", "12",
+    ])
+    cks = sorted(
+        (tmp_path / "prog2" / "checkpoints").glob("*.ckpt"),
+        key=lambda p: int(p.stem.split("step=")[1]),
+    )
+    # phase 1 (target step 4) was a no-op given the step-6 donor; phase 2
+    # resumed the donor at 6 and finished to 8 — no step<=4 ckpt may exist
+    steps = [int(p.stem.split("step=")[1]) for p in cks]
+    assert steps and min(steps) > 4 and steps[-1] == 8
+    header, _ = ckpt_lib.load_checkpoint(str(cks[-1]))
+    assert header["step"] == 8
+
+
 def test_finish_steps_validation():
     with pytest.raises(SystemExit):
         train_nerf.main([

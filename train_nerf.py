@@ -345,9 +345,18 @@ def train_full_nerf(args) -> None:
             fine_samples=args.finish_fine,
         )
         train_cfg2 = dataclasses.replace(train_cfg, max_steps=args.steps)
+        # phase 2 resumes phase 1's latest checkpoint from the run dir; if
+        # phase 1 was a no-op (an explicit -l checkpoint already at/past the
+        # phase-1 target leaves the run dir empty), fall back to that
+        # explicit checkpoint rather than silently training from scratch
+        from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+
+        resume2 = "auto"
+        if ckpt_lib.latest_checkpoint(trainer.ckpt_dir) is None:
+            resume2 = args.ckpt
         trainer2 = Trainer(
             nerf_cfg2, train_cfg2, args.base_dir, args.root_dir,
-            name=args.name, resume_ckpt="auto",
+            name=args.name, resume_ckpt=resume2,
             mesh=mesh,
             mlp_apply=make_mlp_apply(kernel),
             render_fn=make_render_fn(kernel),
