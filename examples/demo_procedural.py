@@ -35,6 +35,14 @@ def main() -> None:
                         choices=["reference", "linterp"])
     parser.add_argument("--occupancy", action="store_true",
                         help="occupancy-grid accelerated coarse sampling")
+    parser.add_argument("--finish-steps", type=int, default=0,
+                        help="progressive schedule: last N steps at the "
+                             "--finish-coarse/--finish-fine budget")
+    parser.add_argument("--finish-coarse", type=int, default=64)
+    parser.add_argument("--finish-fine", type=int, default=128)
+    parser.add_argument("--lr-floor", type=float, default=0.0,
+                        help="lower bound on the per-epoch LR decay "
+                             "(0 = reference parity)")
     parser.add_argument("--occ-floor", type=float, default=0.25)
     parser.add_argument("--occ-num-bins", type=int, default=64)
     parser.add_argument("--occ-no-jitter", action="store_true")
@@ -74,7 +82,12 @@ def main() -> None:
         "full", "-b", str(scene_dir), "-c", str(args.coarse),
         "-f", str(args.fine), "-cr", str(args.cr),
         "--fine-sampling", args.fine_sampling,
+        "--lr-floor", str(args.lr_floor),
     ]
+    if args.finish_steps:
+        argv += ["--finish-steps", str(args.finish_steps),
+                 "--finish-coarse", str(args.finish_coarse),
+                 "--finish-fine", str(args.finish_fine)]
     if args.occupancy:
         argv += ["--occupancy", "--occ-floor", str(args.occ_floor),
                  "--occ-num-bins", str(args.occ_num_bins),
