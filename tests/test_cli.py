@@ -284,6 +284,13 @@ def test_finish_steps_one_flag_progressive(fixture_scene, tmp_path):
     n4 = NeRFConfig.from_dict(h4["nerf_config"])
     assert n4.coarse_samples == 16 and n4.fine_samples == 48  # --fast budget
 
+    # one continuous metrics history: phase 2's logger adopts phase 1's csv
+    import csv as csv_mod
+
+    with open(tmp_path / "prog1" / "metrics.csv") as f:
+        msteps = {int(r["step"]) for r in csv_mod.DictReader(f)}
+    assert {4, 8} <= msteps  # rows from BOTH phases
+
     # idempotent relaunch: everything already trained -> both phases no-op
     mtimes = {p.name: p.stat().st_mtime_ns for p in cks}
     train_nerf.main(argv[:12] + ["-l", "auto"] + argv[12:])
