@@ -192,19 +192,42 @@ class SyntheticScene:
             in [0,1]), ``xs``, ``ys`` (int32 [N]).
         """
         arrs = arrays if arrays is not None else self.device_arrays()
-        h, w = self.height, self.width
-        xs, ys = sample_random_coordinates(key, num_rays, h, w, cropping)
-        c2w = arrs["poses"][frame_idx]
-        origin, direc = cameras.rays_for_pixels(xs, ys, h, w, self.focal, c2w)
-        flat_idx = (frame_idx * h + ys) * w + xs
-        rgb = gather_pixels(arrs["images"], flat_idx)
-        return {"origin": origin, "direc": direc, "rgb": rgb, "xs": xs, "ys": ys}
+        return ray_batch_from_arrays(
+            key, frame_idx, num_rays, self.height, self.width, self.focal,
+            arrs["images"], arrs["poses"], cropping,
+        )
 
     def frame_rays(self, frame_idx: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """All ``H x W`` rays of one frame (for view reconstruction/scoring)."""
         return cameras.get_rays(
             self.height, self.width, self.focal, self.poses[frame_idx]
         )
+
+
+def ray_batch_from_arrays(
+    key: jax.Array,
+    frame_idx,
+    num_rays: int,
+    height: int,
+    width: int,
+    focal: float,
+    images: jnp.ndarray,
+    poses: jnp.ndarray,
+    cropping=False,
+) -> Dict[str, jnp.ndarray]:
+    """The pixel->ray->rgb sampling core shared by ``SyntheticScene.ray_batch``
+    and the batched validation step (``training/loop.make_batched_eval_step``).
+
+    ONE definition on purpose: the batched eval's contract is "the exact
+    per-frame RNG/pixel stream the trainer used", so the sampling math must
+    not fork between the two call sites.
+    """
+    xs, ys = sample_random_coordinates(key, num_rays, height, width, cropping)
+    origin, direc = cameras.rays_for_pixels(
+        xs, ys, height, width, focal, poses[frame_idx]
+    )
+    rgb = gather_pixels(images, (frame_idx * height + ys) * width + xs)
+    return {"origin": origin, "direc": direc, "rgb": rgb, "xs": xs, "ys": ys}
 
 
 def getSyntheticDataloader(

@@ -113,12 +113,16 @@ class OccupancyConfig:
             at 0.027 (true occupancy) vs 0.548 for "both", and +0.90 dB
             test PSNR (45.15 vs 44.25, PERFORMANCE.md "Grid-source A/B").
         probe_method: lowering of the per-probe word lookup —
-            ``"gather"`` (per-element gathers) or ``"onehot"`` (MXU
-            one-hot matmul, ``_probe_bits_onehot``). Bit-identical
-            results; a pure performance choice. ``"onehot"`` is the
-            default after the in-run A/B at fast-recipe production shapes:
-            11.8 vs 13.5 ms/step (347k vs 301k rays/s), identical losses
-            (PERFORMANCE.md "Bin-query lowering").
+            ``"gather"`` (per-element gathers), ``"onehot"`` (MXU one-hot
+            matmul, ``_probe_bits_onehot``), or ``"auto"``. Bit-identical
+            results; a pure performance choice. The one-hot route won the
+            in-run A/B at the default resolution (11.8 vs 13.5 ms/step,
+            347k vs 301k rays/s, PERFORMANCE.md "Bin-query lowering") but
+            its [P, G^3/2048] one-hot grows linearly with the word-table
+            size — at G=256 it would be an ~8.6 GB intermediate.
+            ``"auto"`` (the default) picks onehot while the one-hot stays
+            within ~2x the measured-win shape (G <= 80) and falls back to
+            gather above; see ``resolve_probe_method``.
     """
 
     resolution: int = 64
@@ -132,14 +136,16 @@ class OccupancyConfig:
     floor: float = 0.25
     in_bin_jitter: bool = True
     grid_source: str = "coarse"
-    probe_method: str = "onehot"
+    probe_method: str = "auto"
 
     _GRID_SOURCES = ("both", "coarse", "fine")
 
     def __post_init__(self):
         assert (self.resolution**3) % 32 == 0, self.resolution
         assert self.grid_source in self._GRID_SOURCES, self.grid_source
-        assert self.probe_method in ("gather", "onehot"), self.probe_method
+        assert self.probe_method in ("auto", "gather", "onehot"), (
+            self.probe_method
+        )
 
     def to_dict(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -252,6 +258,19 @@ def _probe_bits_onehot(occ_words: jnp.ndarray, lin: jnp.ndarray) -> jnp.ndarray:
 
 _PROBE_METHODS = {"gather": _probe_bits_gather, "onehot": _probe_bits_onehot}
 
+# "auto" uses the one-hot MXU route while its [P, n_hi] one-hot stays small
+# (n_hi = G^3/2048; 128 at the measured-win G=64). Past ~2x that shape the
+# one-hot's HBM traffic grows linearly and the per-element gather wins back.
+_ONEHOT_MAX_HI = 256
+
+
+def resolve_probe_method(cfg: OccupancyConfig) -> str:
+    """Resolve ``cfg.probe_method`` ("auto" picks by grid size)."""
+    if cfg.probe_method != "auto":
+        return cfg.probe_method
+    n_hi = -(-(cfg.resolution**3 // 32) // 64)
+    return "onehot" if n_hi <= _ONEHOT_MAX_HI else "gather"
+
 
 def query_bin_weights(
     occ_words: jnp.ndarray,
@@ -261,7 +280,7 @@ def query_bin_weights(
     num_bins: int,
     near: float,
     far: float,
-    probe_method: str = "onehot",
+    probe_method: str = "auto",
 ) -> jnp.ndarray:
     """Per-ray occupancy weights over ``num_bins`` uniform bins of [near, far].
 
@@ -272,13 +291,16 @@ def query_bin_weights(
 
     Args:
         occ_words: ``[G^3 // 32]`` uint32 words from ``pack_occupancy``.
-        probe_method: ``"gather"`` (per-element word gathers) or ``"onehot"``
-            (MXU one-hot matmul, ``_probe_bits_onehot``). Bit-identical
+        probe_method: ``"gather"`` (per-element word gathers), ``"onehot"``
+            (MXU one-hot matmul, ``_probe_bits_onehot``), or ``"auto"``
+            (by grid size, ``resolve_probe_method``). Bit-identical
             results; a pure lowering choice.
 
     Returns:
         ``[N, B]`` float32 weights.
     """
+    if probe_method == "auto":
+        probe_method = resolve_probe_method(cfg)
     g = cfg.resolution
     dtype = o_rays.dtype
     width = (far - near) / num_bins

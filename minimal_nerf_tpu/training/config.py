@@ -86,6 +86,9 @@ class TrainConfig:
     # toward uniform; "coarse" holds it at true occupancy and scores +0.9 dB
     # on the 120k object-scene A/B (ops.occupancy.OccupancyConfig.grid_source).
     occ_grid_source: str = "coarse"
+    # bin-probe lowering ("auto" | "gather" | "onehot"); bit-identical,
+    # pure perf (ops.occupancy.OccupancyConfig.probe_method).
+    occ_probe_method: str = "auto"
 
     @property
     def occupancy_config(self):
@@ -106,6 +109,7 @@ class TrainConfig:
             floor=self.occ_floor,
             in_bin_jitter=self.occ_in_bin_jitter,
             grid_source=self.occ_grid_source,
+            probe_method=self.occ_probe_method,
         )
 
     def to_dict(self) -> Dict[str, Any]:

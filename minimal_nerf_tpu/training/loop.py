@@ -22,7 +22,11 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from minimal_nerf_tpu.data.synthetic import gather_pixels, sample_random_coordinates
+from minimal_nerf_tpu.data.synthetic import (
+    gather_pixels,
+    ray_batch_from_arrays,
+    sample_random_coordinates,
+)
 from minimal_nerf_tpu.models.nerf import NeRFConfig, render_rays, render_single
 from minimal_nerf_tpu.ops import cameras
 from minimal_nerf_tpu.parallel import mesh as pmesh
@@ -57,7 +61,7 @@ def make_lr_schedule(cfg: TrainConfig, steps_per_epoch: int) -> Callable:
     epoch (staircase), with epochs of ``steps_per_epoch`` steps.
     """
     gamma = (cfg.end_lr / cfg.start_lr) ** (1.0 / cfg.lr_decay_epochs)
-    floor = getattr(cfg, "lr_floor", 0.0) or 0.0
+    floor = cfg.lr_floor
 
     def schedule(step):
         epoch = step // steps_per_epoch
@@ -523,11 +527,10 @@ def make_batched_eval_step(
             # the key stream mirrors the trainer's historical per-frame loop
             # (fold_in(base_key, 10_000_000 + step + idx); render key fold 1)
             key = jax.random.fold_in(base_key, 10_000_000 + step + idx)
-            xs, ys = sample_random_coordinates(key, num_rays, h, w, False)
-            origin, direc = cameras.rays_for_pixels(
-                xs, ys, h, w, val_static.focal, poses[idx]
+            batch = ray_batch_from_arrays(
+                key, idx, num_rays, h, w, val_static.focal, images, poses,
             )
-            rgb = gather_pixels(images, (idx * h + ys) * w + xs)
+            origin, direc, rgb = batch["origin"], batch["direc"], batch["rgb"]
             if mesh is not None:
                 origin = pmesh.shard_batch(origin, mesh)
                 direc = pmesh.shard_batch(direc, mesh)

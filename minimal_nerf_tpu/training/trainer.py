@@ -57,7 +57,15 @@ class Trainer:
         logger: Optional[MetricsLogger] = None,
         mode: str = "full",
         wandb_project: Optional[str] = None,
+        initial_state=None,
     ):
+        """``initial_state``: optional ``(params, opt_state, grid, step)``
+        handed over in-memory from a previous Trainer's ``final_state`` (the
+        progressive schedule's phase handoff). Takes precedence over
+        ``resume_ckpt`` and involves no filesystem read — in a multihost run
+        every process holds the same in-memory state, where a
+        checkpoint-file handoff would break on hosts without a shared
+        filesystem (only process 0 writes checkpoints)."""
         assert mode in ("full", "single"), mode
         self.mode = mode
         self.render_fn = render_fn
@@ -73,6 +81,7 @@ class Trainer:
         # training program (the grad pmean is a cross-host collective), but
         # only process 0 owns host-side IO: run dir, metrics, images, ckpts
         self.is_primary = jax.process_index() == 0
+        self._initial_state = initial_state
         if resume_ckpt == "auto":
             # resolve 'auto' NOW (not in init_state): the logger's resume
             # decision below must reflect whether a checkpoint actually
@@ -84,9 +93,10 @@ class Trainer:
             self.ckpt_dir.mkdir(parents=True, exist_ok=True)
             self.logger = logger or MetricsLogger(
                 self.run_dir, name=name, wandb_project=wandb_project,
-                # adopt an existing metrics.csv only when actually resuming;
-                # a fresh run reusing a name starts a clean history
-                resume=resume_ckpt is not None,
+                # adopt an existing metrics.csv only when actually resuming
+                # (from disk or an in-memory phase handoff); a fresh run
+                # reusing a name starts a clean history
+                resume=resume_ckpt is not None or initial_state is not None,
             )
         else:
             from minimal_nerf_tpu.training.metrics import NullLogger
@@ -162,6 +172,14 @@ class Trainer:
         slot (``{"opt": ..., "occ_ema": ...}`` — same on-disk format, no new
         fields) and is tracked as ``self._grid``.
         """
+        if self._initial_state is not None:
+            # in-memory handoff from a previous phase (see __init__): no
+            # filesystem involved, identical on every process of a
+            # multihost run
+            params, opt_state, grid, start_step = self._initial_state
+            self._grid = grid
+            print(f"[trainer] continuing in-memory at step {start_step}")
+            return params, opt_state, start_step
         init_key = jax.random.fold_in(self.base_key, 1)
         params = (
             init_nerf_network(init_key, self.nerf_config)
@@ -233,6 +251,7 @@ class Trainer:
                 f"[trainer] resume step {start_step} >= max_steps "
                 f"{cfg.max_steps}: nothing to do"
             )
+            self.final_state = (params, opt_state, self._grid, start_step)
             return params
         grid = self._grid
         arrays = self.train_scene.device_arrays()
@@ -335,6 +354,9 @@ class Trainer:
                 self.save(params, opt_state, step)
 
         self.save(params, opt_state, cfg.max_steps, blocking=True)
+        # in-memory handoff point for a successor phase (progressive
+        # schedule): everything the next Trainer needs, no filesystem read
+        self.final_state = (params, opt_state, self._grid, cfg.max_steps)
         return params
 
     # ------------------------------------------------------------ validation

@@ -328,12 +328,22 @@ def test_measured_defaults_pinned():
     object-scene A/B) and the one-hot MXU bin-probe lowering (11.8 vs 13.5
     ms/step, bit-identical). A silent regression of either would look like
     a quality/perf regression long before anyone checked the config."""
-    from minimal_nerf_tpu.ops.occupancy import OccupancyConfig
+    from minimal_nerf_tpu.ops.occupancy import (
+        OccupancyConfig,
+        resolve_probe_method,
+    )
     from minimal_nerf_tpu.training.config import TrainConfig
 
     assert OccupancyConfig().grid_source == "coarse"
-    assert OccupancyConfig().probe_method == "onehot"
+    # "auto" resolves to the measured-fastest lowering per grid size:
+    # one-hot at the default 64^3 (and up to ~80^3), gather at big grids
+    # whose [P, G^3/2048] one-hot would dominate HBM traffic
+    assert OccupancyConfig().probe_method == "auto"
+    assert resolve_probe_method(OccupancyConfig()) == "onehot"
+    assert resolve_probe_method(OccupancyConfig(resolution=80)) == "onehot"
+    assert resolve_probe_method(OccupancyConfig(resolution=128)) == "gather"
     assert TrainConfig(occupancy=True).occupancy_config.grid_source == "coarse"
+    assert TrainConfig(occupancy=True).occupancy_config.probe_method == "auto"
 
 
 # --------------------------------------------------------- render integration

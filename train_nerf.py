@@ -177,6 +177,14 @@ def build_parser() -> argparse.ArgumentParser:
                                   "hallucinated density in never-sampled "
                                   "empty space (occ_fraction creep; +0.9 dB "
                                   "on the 120k object-scene A/B)")
+    full_parser.add_argument("--occ-probe-method", default="auto",
+                             choices=("auto", "gather", "onehot"),
+                             help="lowering of the per-probe grid lookup "
+                                  "(bit-identical results): 'onehot' = MXU "
+                                  "one-hot matmul (fastest at the default "
+                                  "64^3 grid), 'gather' = per-element "
+                                  "lookups (wins at large grids); 'auto' "
+                                  "picks by grid size")
     full_parser.add_argument("--occ-update-every", type=int, default=16,
                              help="train steps between grid EMA updates")
     full_parser.add_argument("--occ-warmup-steps", type=int, default=256,
@@ -315,6 +323,7 @@ def train_full_nerf(args) -> None:
         occ_floor=args.occ_floor,
         occ_in_bin_jitter=not args.occ_no_jitter,
         occ_grid_source=args.occ_grid_source,
+        occ_probe_method=args.occ_probe_method,
         lr_floor=args.lr_floor,
     )
     mesh = make_mesh_or_none(args.data_parallel, args.multihost)
@@ -345,18 +354,14 @@ def train_full_nerf(args) -> None:
             fine_samples=args.finish_fine,
         )
         train_cfg2 = dataclasses.replace(train_cfg, max_steps=args.steps)
-        # phase 2 resumes phase 1's latest checkpoint from the run dir; if
-        # phase 1 was a no-op (an explicit -l checkpoint already at/past the
-        # phase-1 target leaves the run dir empty), fall back to that
-        # explicit checkpoint rather than silently training from scratch
-        from minimal_nerf_tpu.training import checkpoint as ckpt_lib
-
-        resume2 = "auto"
-        if ckpt_lib.latest_checkpoint(trainer.ckpt_dir) is None:
-            resume2 = args.ckpt
+        # phase 2 continues from phase 1's IN-MEMORY final state: no
+        # filesystem round-trip, so it follows exactly the state phase 1
+        # ended on (explicit -l resumes included, stale run-dir checkpoints
+        # ignored) and works on multihost runs without a shared filesystem
+        # (only process 0 writes checkpoint files)
         trainer2 = Trainer(
             nerf_cfg2, train_cfg2, args.base_dir, args.root_dir,
-            name=args.name, resume_ckpt=resume2,
+            name=args.name, initial_state=trainer.final_state,
             mesh=mesh,
             mlp_apply=make_mlp_apply(kernel),
             render_fn=make_render_fn(kernel),
@@ -383,6 +388,7 @@ def train_single_nerf(args) -> None:
         seed=args.seed,
         steps_per_call=args.steps_per_call,
         log_every=args.log_every,
+        val_render_every=args.val_render_every,
         kernel=resolve_kernel(args.kernel),
     )
     trainer = Trainer(
