@@ -167,6 +167,46 @@ def test_multi_step_matches_single_steps(fixture_scene):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
 
 
+def test_initial_state_handoff_on_mesh(fixture_scene, tmp_path):
+    """The progressive phase handoff (Trainer(initial_state=...)) on a
+    device mesh: phase 2 must accept phase 1's replicated final_state
+    (params/opt/grid/step as committed global arrays), re-replicate it
+    cleanly, and continue to the new max_steps at a changed sample budget."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    from minimal_nerf_tpu.parallel import make_mesh
+
+    mesh = make_mesh(4)
+    mk = lambda steps, c, f: (
+        NeRFConfig(coarse_samples=c, fine_samples=f),
+        TrainConfig(
+            num_rays=64, max_steps=steps, cropping_epochs=0, log_every=2,
+            check_val_every_n_epoch=1000, ckpt_every_steps=1000,
+            precision="fp32", occupancy=True, occ_resolution=16,
+            occ_warmup_steps=2, occ_update_every=2,
+        ),
+    )
+    n1, c1 = mk(2, 8, 8)
+    t1 = Trainer(n1, c1, fixture_scene, tmp_path, name="meshprog", mesh=mesh)
+    t1.fit()
+    assert t1.final_state[3] == 2
+    n2, c2 = mk(4, 12, 12)
+    t2 = Trainer(
+        n2, c2, fixture_scene, tmp_path, name="meshprog", mesh=mesh,
+        initial_state=t1.final_state,
+    )
+    t2.fit()
+    cks = sorted(
+        (tmp_path / "meshprog" / "checkpoints").glob("*.ckpt"),
+        key=lambda p: int(p.stem.split("step=")[1]),
+    )
+    assert int(cks[-1].stem.split("step=")[1]) == 4
+    header, _ = ckpt_lib.load_checkpoint(str(cks[-1]))
+    assert NeRFConfig.from_dict(header["nerf_config"]).coarse_samples == 12
+
+
 def test_trainer_end_to_end(fixture_scene, tmp_path):
     nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
     train_cfg = TrainConfig(
