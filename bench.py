@@ -165,11 +165,20 @@ def main() -> None:
         print(f"[bench] fast-recipe path failed: {type(e).__name__}: {e}",
               file=sys.stderr)
 
+    # the metric NAME carries the config so automated consumers comparing
+    # across rounds can't silently compare different recipes (advisor r3):
+    # *_fast = the --fast recipe headline; the production 64+128 number is
+    # always present under its own explicit keys below.
     headline = fast if fast is not None else production
+    metric = (
+        "train_rays_per_sec_per_chip_fast"
+        if fast is not None
+        else "train_rays_per_sec_per_chip"
+    )
     print(
         json.dumps(
             {
-                "metric": "train_rays_per_sec_per_chip",
+                "metric": metric,
                 "value": round(headline, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(headline / BASELINE_RAYS_PER_SEC, 2),
