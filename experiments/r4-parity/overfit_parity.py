@@ -1,0 +1,273 @@
+"""Training-trajectory parity vs the ACTUAL torch reference (VERDICT r3 #2).
+
+Egress is closed (re-checked 2026-08-18, round 4): the Blender lego/ship
+0.2 dB gates (BASELINE.md) remain unrunnable. This is the strengthenable
+substitute: an overfit-one-frame experiment on the SHARED fixture — the
+reference's own ``tests/test_data`` scene (one real 800x800 render,
+``transforms_train.json:1-14``) — trained by BOTH frameworks at identical
+hyperparameters, comparing reconstructed-view PSNR at equal step counts.
+
+Protocol (per framework):
+- dataset: the one fixture frame; per step, ``num_rays`` random pixels
+  (each framework's own RNG stream — trajectory-level comparison).
+- model: pos_dim 10 / dir_dim 4, coarse+fine hierarchical, near 2 far 6.
+- optimizer: Adam 5e-4, per-epoch ExponentialLR to 5e-5 over 1200 epochs;
+  one frame => 1 step = 1 epoch in both (the reference steps its scheduler
+  per epoch, ``nerf_model.py:134-143``).
+- metric: PSNR of the reconstructed training view at SCALE x (rendered at
+  (800/x)^2 with focal/x) vs the box-downsampled ground truth, every
+  ``eval_every`` steps, through each framework's own render path.
+
+Parity gate (recorded in PERFORMANCE.md): |PSNR_jax - PSNR_torch| <= 0.5 dB
+at equal steps once both curves are past the initial noise (>= 1/3 of the
+run).
+
+Usage: python experiments/r4-parity/overfit_parity.py --steps 600 \
+           --out /tmp/r4_parity [--framework both|torch|jax]
+"""
+
+import argparse
+import csv
+import json
+import sys
+import time
+import types
+from pathlib import Path
+
+import numpy as np
+
+REFERENCE = Path("/root/reference")
+REPO = Path(__file__).resolve().parents[2]
+sys.path.insert(0, str(REPO))
+
+SCALE = 4  # render/score at 200x200 (CPU-tractable for the torch side)
+
+
+def load_fixture():
+    """The shared fixture: GT image (downsampled), pose, focal."""
+    import imageio.v2 as imageio
+
+    with open(REFERENCE / "tests/test_data/transforms_train.json") as f:
+        meta = json.load(f)
+    frame = meta["frames"][0]
+    c2w = np.array(frame["transform_matrix"], dtype=np.float32)
+    im = imageio.imread(
+        REFERENCE / "tests/test_data" / (frame["file_path"] + ".png")
+    )
+    im = im[..., :3].astype(np.float32) / 255.0
+    H = W = im.shape[0]
+    focal = 0.5 * W / np.tan(0.5 * meta["camera_angle_x"])
+    # box-downsample by SCALE (area average), like rendering at W/SCALE
+    h, w = H // SCALE, W // SCALE
+    gt_small = im.reshape(h, SCALE, w, SCALE, 3).mean(axis=(1, 3))
+    return im, gt_small, c2w, focal, H, W
+
+
+def psnr(pred_uint8: np.ndarray, gt_float: np.ndarray) -> float:
+    gt = (np.clip(gt_float, 0, 1) * 255).astype(np.uint8)
+    mse = np.mean(
+        (pred_uint8.astype(np.float64) - gt.astype(np.float64)) ** 2
+    )
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+# --------------------------------------------------------------- torch side
+
+
+def import_reference():
+    """Import the reference modules with the pytorch_lightning stub
+    (tests/test_reference_parity.py uses the same approach)."""
+    import torch.nn as nn
+
+    if "pytorch_lightning" not in sys.modules:
+        pl = types.ModuleType("pytorch_lightning")
+
+        class LightningModule(nn.Module):
+            def log(self, *a, **k):
+                pass
+
+            def save_hyperparameters(self, *a, **k):
+                self.hparams = types.SimpleNamespace(**(a[0] if a else k))
+
+        pl.LightningModule = LightningModule
+        pl.LightningDataModule = object
+        sys.modules["pytorch_lightning"] = pl
+    sys.path.insert(0, str(REFERENCE))
+    import dataloader as ref_dataloader  # noqa: F401
+    import nerf_helpers as ref_helpers
+    import nerf_model as ref_model
+
+    return ref_model, ref_helpers, ref_dataloader
+
+
+def run_torch(args, out_csv):
+    import torch
+
+    ref_model, ref_helpers, ref_dataloader = import_reference()
+    torch.manual_seed(args.seed)
+    im, gt_small, c2w, focal, H, W = load_fixture()
+    im_t = torch.from_numpy(im)
+    c2w_t = torch.from_numpy(c2w)
+
+    net = ref_model.NeRFNetwork(
+        position_dim=10, direction_dim=4,
+        coarse_samples=args.coarse, fine_samples=args.fine,
+    )
+    opt = torch.optim.Adam(net.parameters(), lr=5e-4)
+    sched = torch.optim.lr_scheduler.ExponentialLR(
+        opt, gamma=(0.1) ** (1 / 1200)
+    )
+    # precompute the full ray grid once (the reference recomputes per step,
+    # dataloader.py:147 — same values, pure waste on CPU)
+    o_all, d_all = ref_dataloader.get_rays(H, W, focal, c2w_t)
+
+    rows = []
+
+    def evaluate(step):
+        hs, ws = H // SCALE, W // SCALE
+        o_s, d_s = ref_dataloader.get_rays(hs, ws, focal / SCALE, c2w_t)
+        with torch.no_grad():
+            pred = ref_helpers.view_reconstruction(
+                net, o_s, d_s, N=args.rays
+            )
+        p = psnr(np.asarray(pred), gt_small)
+        rows.append({"step": step, "psnr": p})
+        print(f"[torch] step {step}: psnr {p:.3f}", flush=True)
+
+    t0 = time.time()
+    for step in range(1, args.steps + 1):
+        xs = torch.randint(0, W, (args.rays,))
+        ys = torch.randint(0, H, (args.rays,))
+        o = o_all[ys, xs]
+        d = d_all[ys, xs]
+        rgb = im_t[ys, xs]
+        out = net.forward(o, d)
+        loss = torch.nn.functional.mse_loss(
+            out["coarse_rgb_rays"], rgb
+        ) + torch.nn.functional.mse_loss(out["fine_rgb_rays"], rgb)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()  # 1 frame => 1 step = 1 epoch
+        if step % args.log_every == 0:
+            print(
+                f"[torch] step {step}: loss {float(loss):.5f} "
+                f"({(time.time() - t0) / step:.2f} s/step)",
+                flush=True,
+            )
+        if step % args.eval_every == 0 or step == args.steps:
+            evaluate(step)
+
+    with open(out_csv, "w", newline="") as f:
+        wtr = csv.DictWriter(f, fieldnames=["step", "psnr"])
+        wtr.writeheader()
+        wtr.writerows(rows)
+    print(f"[torch] wrote {out_csv}")
+
+
+# ----------------------------------------------------------------- jax side
+
+
+def run_jax(args, out_csv):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from minimal_nerf_tpu import views
+    from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network
+    from minimal_nerf_tpu.ops import cameras
+    from minimal_nerf_tpu.training.loop import nerf_loss
+
+    im, gt_small, c2w, focal, H, W = load_fixture()
+    im_j = jnp.asarray(im)
+    c2w_j = jnp.asarray(c2w)
+
+    cfg = NeRFConfig(coarse_samples=args.coarse, fine_samples=args.fine)
+    params = init_nerf_network(jax.random.PRNGKey(args.seed), cfg)
+    gamma = (0.1) ** (1 / 1200)
+    tx = optax.adam(lambda step: 5e-4 * gamma**step)  # 1 step = 1 epoch
+    opt_state = tx.init(params)
+    o_all, d_all = cameras.get_rays(H, W, float(focal), c2w_j)
+
+    @jax.jit
+    def step_fn(params, opt_state, key):
+        kx, ky, kr = jax.random.split(key, 3)
+        xs = jax.random.randint(kx, (args.rays,), 0, W)
+        ys = jax.random.randint(ky, (args.rays,), 0, H)
+        o, d, rgb = o_all[ys, xs], d_all[ys, xs], im_j[ys, xs]
+        (loss, _), grads = jax.value_and_grad(nerf_loss, has_aux=True)(
+            params, cfg, o, d, rgb, kr
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    render_chunk = views.make_param_render_chunk(cfg)
+    rows = []
+
+    def evaluate(params, step):
+        hs, ws = H // SCALE, W // SCALE
+        o_s, d_s = cameras.get_rays(hs, ws, float(focal) / SCALE, c2w_j)
+        pred = views.view_reconstruction_with_params(
+            render_chunk, params, o_s, d_s, chunk=args.rays,
+            key=jax.random.PRNGKey(1),
+        )
+        p = psnr(np.asarray(pred), gt_small)
+        rows.append({"step": step, "psnr": p})
+        print(f"[jax] step {step}: psnr {p:.3f}", flush=True)
+
+    base = jax.random.PRNGKey(args.seed + 1)
+    t0 = time.time()
+    for step in range(1, args.steps + 1):
+        params, opt_state, loss = step_fn(
+            params, opt_state, jax.random.fold_in(base, step)
+        )
+        if step % args.log_every == 0:
+            print(
+                f"[jax] step {step}: loss {float(loss):.5f} "
+                f"({(time.time() - t0) / step:.2f} s/step)",
+                flush=True,
+            )
+        if step % args.eval_every == 0 or step == args.steps:
+            evaluate(params, step)
+
+    with open(out_csv, "w", newline="") as f:
+        wtr = csv.DictWriter(f, fieldnames=["step", "psnr"])
+        wtr.writeheader()
+        wtr.writerows(rows)
+    print(f"[jax] wrote {out_csv}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--rays", type=int, default=1024)
+    ap.add_argument("--coarse", type=int, default=16)
+    ap.add_argument("--fine", type=int, default=32)
+    ap.add_argument("--eval-every", type=int, default=150)
+    ap.add_argument("--log-every", type=int, default=25)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="/tmp/r4_parity")
+    ap.add_argument("--framework", choices=["both", "torch", "jax"],
+                    default="both")
+    args = ap.parse_args()
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    if args.framework in ("jax", "both"):
+        run_jax(args, out / "jax.csv")
+    if args.framework in ("torch", "both"):
+        run_torch(args, out / "torch.csv")
+    if args.framework == "both":
+        with open(out / "jax.csv") as f:
+            j = {int(r["step"]): float(r["psnr"]) for r in csv.DictReader(f)}
+        with open(out / "torch.csv") as f:
+            t = {int(r["step"]): float(r["psnr"]) for r in csv.DictReader(f)}
+        print("step  torch_psnr  jax_psnr  delta")
+        for s in sorted(j):
+            if s in t:
+                print(f"{s:5d}  {t[s]:9.3f}  {j[s]:8.3f}  {j[s] - t[s]:+.3f}")
+
+
+if __name__ == "__main__":
+    main()

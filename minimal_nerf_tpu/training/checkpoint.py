@@ -33,6 +33,12 @@ def device_fetch_batched(tree):
     seconds — measured as the dominant cost of a checkpoint boundary
     (round 3). Concatenating the raveled leaves on-device first turns 60
     roundtrips into one-per-dtype. Non-array leaves pass through.
+
+    Memory note: the per-dtype concatenation materializes a transient
+    on-device copy of every same-dtype leaf — at checkpoint boundaries
+    that is briefly ~2x the params+opt_state footprint in HBM. For this
+    model family that is a few MB and irrelevant; callers with very large
+    states should chunk the tree before calling.
     """
     import jax.numpy as jnp
 

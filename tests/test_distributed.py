@@ -10,7 +10,12 @@ hierarchical model over the global 8-device ``('data',)`` mesh via
 - the first-step loss is identical to the single-process 8-device mesh
   (same global mesh -> same per-shard RNG -> same batch; later steps may
   drift by cross-process collective reduction order, which is why the
-  equivalence gate is step 1).
+  BITWISE gate is step 1),
+- steps 2..20 stay within a LOOSE tolerance of the single-process mesh:
+  reduction-order fp drift through 20 Adam steps is tiny, while a real
+  divergence (a key-stream fork, a wrong collective) moves the loss far
+  beyond it — step 1 alone cannot catch bugs that only manifest once the
+  two processes' states have to stay in lockstep (VERDICT r3 weak #5).
 """
 
 import csv
@@ -71,10 +76,13 @@ def _launch_pair(root, fixture_scene, name, steps="1", extra=()):
     return procs, outs
 
 
+MH_STEPS = 20
+
+
 @pytest.fixture(scope="module")
 def multihost_run(fixture_scene, tmp_path_factory):
     root = tmp_path_factory.mktemp("mh")
-    procs, outs = _launch_pair(root, fixture_scene, "mh")
+    procs, outs = _launch_pair(root, fixture_scene, "mh", steps=str(MH_STEPS))
     return root, procs, outs
 
 
@@ -91,11 +99,17 @@ def test_multihost_completes_and_primary_owns_io(multihost_run):
     assert "step 1:" not in outs[1]
 
 
-def test_multihost_first_step_matches_single_process(multihost_run, fixture_scene,
-                                                     tmp_path):
-    """Same global 8-device mesh, in one process vs two: step-1 loss agrees
-    (verified bitwise-identical interactively; small tolerance for libc
-    variation across environments)."""
+def test_multihost_matches_single_process(multihost_run, fixture_scene,
+                                          tmp_path):
+    """Same global 8-device mesh, in one process vs two.
+
+    Step 1: bitwise-level agreement (verified bitwise-identical
+    interactively; tiny tolerance for libc variation across environments).
+    Steps 2..20: loose 10% gate — cross-process collective reduction order
+    legitimately drifts the fp trajectory, but only by ulps compounded
+    through Adam; a key-stream fork or a wrong collective (psum-vs-pmean,
+    dropped shard) moves the loss by far more than 10% within 20 steps.
+    """
     root, _, _ = multihost_run
     with open(root / "mh" / "metrics.csv", newline="") as f:
         mh_rows = {int(r["step"]): r for r in csv.DictReader(f)}
@@ -103,7 +117,7 @@ def test_multihost_first_step_matches_single_process(multihost_run, fixture_scen
     import train_nerf
 
     train_nerf.main([
-        "-n", "sp", "-s", "1", "-r", "64", "-rd", str(tmp_path),
+        "-n", "sp", "-s", str(MH_STEPS), "-r", "64", "-rd", str(tmp_path),
         "--precision", "fp32", "--log-every", "1", "--data-parallel", "8",
         "full", "-b", str(fixture_scene), "-c", "8", "-f", "8", "-cr", "0",
     ])
@@ -115,6 +129,11 @@ def test_multihost_first_step_matches_single_process(multihost_run, fixture_scen
             float(mh_rows[1][key]), float(sp_rows[1][key]), rtol=1e-6,
             err_msg=key,
         )
+    steps = sorted(set(mh_rows) & set(sp_rows))
+    assert steps[-1] >= MH_STEPS, steps
+    for s in steps[1:]:
+        mh, sp = float(mh_rows[s]["train_loss"]), float(sp_rows[s]["train_loss"])
+        assert abs(mh - sp) <= 0.10 * max(abs(sp), 1e-6), (s, mh, sp)
 
 
 def test_multihost_occupancy_runs_and_checkpoints_grid(fixture_scene,

@@ -556,6 +556,66 @@ def test_batched_eval_matches_per_frame_loop(fixture_scene):
         np.testing.assert_allclose(float(got[k]), v, rtol=1e-6, err_msg=k)
 
 
+def test_batched_single_eval_matches_per_frame_loop(fixture_scene):
+    """make_batched_eval_step_single reproduces the historical mode='single'
+    per-frame validation loop exactly (same RNG stream, mean over frames)."""
+    from minimal_nerf_tpu.models.mlp import init_nerf_mlp
+    from minimal_nerf_tpu.models.nerf import render_single
+    from minimal_nerf_tpu.training.loop import make_batched_eval_step_single
+
+    scene = SyntheticScene.load(fixture_scene, "val")
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    train_cfg = TrainConfig(num_rays=64, precision="fp32")
+    params = init_nerf_mlp(
+        jax.random.PRNGKey(0), nerf_cfg.position_dim, nerf_cfg.direction_dim
+    )
+    base_key = jax.random.PRNGKey(42)
+    step = 7
+    arrays = scene.device_arrays()
+
+    losses = []
+    for idx in range(scene.num_frames):
+        key = jax.random.fold_in(base_key, 10_000_000 + step + idx)
+        batch = scene.ray_batch(key, idx, train_cfg.num_rays, arrays=arrays)
+        out = render_single(
+            params, nerf_cfg, batch["origin"], batch["direc"],
+            jax.random.fold_in(key, 1),
+            compute_dtype=train_cfg.compute_dtype,
+        )
+        losses.append(float(jnp.mean((out["pred_rgbs"] - batch["rgb"]) ** 2)))
+    want = float(np.mean(losses))
+
+    eval_all = make_batched_eval_step_single(
+        nerf_cfg, train_cfg, scene_static(scene)
+    )
+    got = jax.device_get(
+        eval_all(params, arrays["images"], arrays["poses"], step, base_key)
+    )
+    np.testing.assert_allclose(float(got["val_loss"]), want, rtol=1e-6)
+
+
+def test_validation_boundary_is_one_metrics_row(fixture_scene, tmp_path):
+    """A validation boundary writes ONE metrics.csv row carrying both the
+    val losses and the boundary timings (advisor r3: two sparsely-populated
+    rows per boundary forced per-step consumers to merge by step)."""
+    import csv as _csv
+
+    nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
+    cfg = TrainConfig(
+        num_rays=32, max_steps=3, cropping_epochs=0, log_every=100,
+        check_val_every_n_epoch=1, ckpt_every_steps=1000, precision="fp32",
+    )
+    t = Trainer(nerf_cfg, cfg, fixture_scene, tmp_path, name="onerow")
+    t.fit()
+    with open(tmp_path / "onerow" / "metrics.csv", newline="") as f:
+        rows = list(_csv.DictReader(f))
+    val_rows = [r for r in rows if r.get("val_loss")]
+    assert val_rows, "no validation rows logged"
+    for r in val_rows:
+        assert r.get("val_seconds"), r
+        assert r.get("ckpt_seconds"), r
+
+
 def test_auto_resume_fresh_run_does_not_adopt_stale_csv(fixture_scene, tmp_path):
     """--ckpt auto with NO checkpoint on disk is a fresh run: it must not
     append to a stale metrics.csv from a previous same-name run."""

@@ -148,11 +148,15 @@ def build_parser() -> argparse.ArgumentParser:
                                   "frames advance the epoch-based schedule "
                                   "proportionally faster and starve the "
                                   "late run; ~1e-5 keeps the tail trainable")
-    full_parser.add_argument("--occupancy", action="store_true", default=None,
+    full_parser.add_argument("--occupancy",
+                             action=argparse.BooleanOptionalAction,
+                             default=None,
                              help="occupancy-grid accelerated coarse sampling "
                                   "(opt-in; concentrates samples in occupied "
                                   "space so -c/-f can be reduced at equal "
-                                  "quality — see PERFORMANCE.md)")
+                                  "quality — see PERFORMANCE.md). "
+                                  "--no-occupancy overrides the --fast "
+                                  "preset, like an explicit -c/-f does")
     full_parser.add_argument("--occ-resolution", type=int, default=64,
                              help="occupancy grid cells per axis")
     full_parser.add_argument("--occ-bound", type=float, default=3.2,
