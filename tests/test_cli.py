@@ -341,6 +341,75 @@ def test_finish_steps_validation():
         ])
 
 
+def test_budget_schedule_parsing():
+    """parse_budget_schedule: phase tiling, remainder phase, error cases."""
+    parse = train_nerf.parse_budget_schedule
+    assert parse("16+48:60,32+96:40,64+128", 120) == [
+        (16, 48, 60), (32, 96, 100), (64, 128, 120),
+    ]
+    assert parse("16+48:100,64+128:20", 120) == [(16, 48, 100), (64, 128, 120)]
+    assert parse("64+128", 10) == [(64, 128, 10)]
+    assert parse("16+48:60,32+96", 120) == [(16, 48, 60), (32, 96, 120)]
+    for bad in (
+        "16+48:60,32+96:40",                    # covers 100 of -s 120
+        "16+48:130",                            # overshoots
+        "16+48:60,64+128:100",                  # sums past -s
+        "16+48:120,64+128",                     # remainder phase gets 0 steps
+        "16x48:60,64+128",                      # bad budget syntax
+        "16+48:sixty,64+128",                   # bad step count
+        "16+48:0,64+128",                       # zero-step phase
+        "",                                     # empty
+    ):
+        with pytest.raises(SystemExit):
+            parse(bad, 120)
+    with pytest.raises(SystemExit):
+        # --finish-steps and --budget-schedule are mutually exclusive
+        train_nerf.main([
+            "-n", "x", "-s", "10", "full", "--finish-steps", "2",
+            "--budget-schedule", "8+8:5,12+12",
+        ])
+
+
+def test_budget_schedule_three_phase(fixture_scene, tmp_path):
+    """--budget-schedule runs an N-phase progressive schedule in ONE
+    invocation (VERDICT r3 #5): per-phase sample budgets land in the phase
+    checkpoints, metrics history is continuous, and an -l auto relaunch
+    finds every phase complete (no-op)."""
+    from minimal_nerf_tpu.models.nerf import NeRFConfig
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+
+    argv = [
+        "-n", "sched3", "-s", "9", "-r", "64", "-rd", str(tmp_path),
+        "--precision", "fp32",
+        "full", "-b", str(fixture_scene), "-cr", "0",
+        "--budget-schedule", "8+8:3,10+10:3,12+12",
+    ]
+    train_nerf.main(argv)
+    cks = sorted(
+        (tmp_path / "sched3" / "checkpoints").glob("*.ckpt"),
+        key=lambda p: int(p.stem.split("step=")[1]),
+    )
+    steps = [int(p.stem.split("step=")[1]) for p in cks]
+    assert steps[-1] == 9 and {3, 6} <= set(steps)  # each phase end saved
+    for step, want in ((3, 8), (6, 10), (9, 12)):
+        header, _ = ckpt_lib.load_checkpoint(str(cks[steps.index(step)]))
+        ncfg = NeRFConfig.from_dict(header["nerf_config"])
+        assert (ncfg.coarse_samples, ncfg.fine_samples) == (want, want)
+
+    import csv as csv_mod
+
+    with open(tmp_path / "sched3" / "metrics.csv") as f:
+        msteps = {int(r["step"]) for r in csv_mod.DictReader(f)}
+    assert {3, 6, 9} <= msteps  # rows from all three phases
+
+    mtimes = {p.name: p.stat().st_mtime_ns for p in cks}
+    train_nerf.main(argv[:8] + ["-l", "auto"] + argv[8:])
+    cks2 = sorted((tmp_path / "sched3" / "checkpoints").glob("*.ckpt"))
+    assert {p.name for p in cks2} == set(mtimes)
+    final = max(cks2, key=lambda p: int(p.stem.split("step=")[1]))
+    assert final.stat().st_mtime_ns == mtimes[final.name]
+
+
 def test_val_render_every_skips_images(fixture_scene, tmp_path):
     """val_render_every=N renders the recon image on every Nth validation
     only; val losses still log at every boundary."""

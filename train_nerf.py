@@ -141,6 +141,19 @@ def build_parser() -> argparse.ArgumentParser:
                                   "phase")
     full_parser.add_argument("--finish-fine", type=int, default=128,
                              help="fine samples for the --finish-steps phase")
+    full_parser.add_argument("--budget-schedule", type=str, default=None,
+                             metavar="C+F:N[,C+F:N...][,C+F]",
+                             help="general N-phase sample-budget schedule "
+                                  "(--finish-steps is the 2-phase special "
+                                  "case): comma-separated phases, each "
+                                  "'COARSE+FINE:STEPS'; the last phase may "
+                                  "omit ':STEPS' to take the remainder of "
+                                  "-s. Example: -s 120000 "
+                                  "--budget-schedule 16+48:60000,32+96:"
+                                  "40000,64+128 — phase budgets override "
+                                  "-c/-f; each phase continues in-memory "
+                                  "from the last, and relaunches with "
+                                  "-l auto skip completed phases")
     full_parser.add_argument("--lr-floor", type=float, default=0.0,
                              help="lower bound on the per-epoch exponential "
                                   "LR decay (0 = reference parity: the decay "
@@ -284,18 +297,93 @@ _FAST_PRESET_DEFAULTS = {
 }
 
 
+def parse_budget_schedule(spec: str, total_steps: int):
+    """``"C+F:N,...[,C+F]"`` -> ``[(coarse, fine, end_step), ...]``.
+
+    Each phase trains to its cumulative ``end_step``; the last phase may omit
+    ``:N`` and takes the remainder of ``total_steps``. The phase ends must
+    exactly tile ``[0, total_steps]`` — partial coverage is an error, not a
+    silent truncation.
+    """
+    phases = []
+    parts = [p.strip() for p in spec.split(",") if p.strip()]
+    if not parts:
+        raise SystemExit(f"--budget-schedule: empty schedule {spec!r}")
+    end = 0
+    for i, part in enumerate(parts):
+        budget, sep, n_str = part.partition(":")
+        try:
+            coarse, fine = (int(x) for x in budget.split("+"))
+        except ValueError:
+            raise SystemExit(
+                f"--budget-schedule: bad phase {part!r} (want COARSE+FINE"
+                f"[:STEPS])"
+            ) from None
+        if sep:
+            try:
+                n = int(n_str)
+            except ValueError:
+                raise SystemExit(
+                    f"--budget-schedule: bad step count in {part!r}"
+                ) from None
+        elif i == len(parts) - 1:
+            n = total_steps - end
+        else:
+            raise SystemExit(
+                f"--budget-schedule: only the LAST phase may omit ':STEPS' "
+                f"(phase {part!r})"
+            )
+        if n <= 0 or coarse <= 0 or fine < 0:
+            raise SystemExit(
+                f"--budget-schedule: phase {part!r} resolves to "
+                f"{coarse}+{fine}:{n}; needs steps>0, coarse>0, fine>=0"
+            )
+        end += n
+        phases.append((coarse, fine, end))
+    if end != total_steps:
+        raise SystemExit(
+            f"--budget-schedule covers {end} steps but -s is {total_steps}; "
+            "phase step counts must sum to -s (omit the last ':STEPS' to "
+            "take the remainder)"
+        )
+    return phases
+
+
+def resolve_phases(args):
+    """The (coarse, fine, end_step) phase list for a full-model run.
+
+    ``--budget-schedule`` is the general form; ``--finish-steps`` is sugar
+    for its 2-phase case; neither means a single phase at -c/-f.
+    """
+    finish = getattr(args, "finish_steps", 0) or 0
+    schedule = getattr(args, "budget_schedule", None)
+    if schedule and finish:
+        raise SystemExit(
+            "--finish-steps is the 2-phase shorthand for --budget-schedule; "
+            "pass one or the other"
+        )
+    if schedule:
+        return parse_budget_schedule(schedule, args.steps)
+    if finish < 0 or finish >= args.steps:
+        raise SystemExit(
+            f"--finish-steps must be in [0, steps); got {finish} of "
+            f"{args.steps}"
+        )
+    if finish:
+        return [
+            (args.coarse, args.fine, args.steps - finish),
+            (args.finish_coarse, args.finish_fine, args.steps),
+        ]
+    return [(args.coarse, args.fine, args.steps)]
+
+
 def train_full_nerf(args) -> None:
     import dataclasses
 
     from minimal_nerf_tpu.training.trainer import Trainer
 
     apply_fast_preset(args, _FAST_PRESET_DEFAULTS)
-    finish = getattr(args, "finish_steps", 0) or 0
-    if finish < 0 or finish >= args.steps:
-        raise SystemExit(
-            f"--finish-steps must be in [0, steps); got {finish} of "
-            f"{args.steps}"
-        )
+    phases = resolve_phases(args)
     nerf_cfg = NeRFConfig(
         position_dim=args.position_encoding,
         direction_dim=args.direction_encoding,
@@ -332,46 +420,41 @@ def train_full_nerf(args) -> None:
     )
     mesh = make_mesh_or_none(args.data_parallel, args.multihost)
     kernel = resolve_kernel(args.kernel)
-    if finish:
-        # progressive schedule, phase 1: the configured (cheap) budget up to
-        # steps - finish. Phase 2 below resumes the phase-1 checkpoint at
-        # the production budget (resume-under-changed-sample-budget is the
-        # tested mechanism, tests/test_training.py). fit() is a no-op when a
-        # relaunch finds phase 1 already complete.
-        train_cfg = dataclasses.replace(
-            train_cfg, max_steps=args.steps - finish
+    # Progressive schedule: each phase trains to its end_step at its own
+    # sample budget (resume-under-changed-sample-budget is the tested
+    # mechanism, tests/test_training.py). Phase 1 resumes from -l if given;
+    # every later phase continues from the previous phase's IN-MEMORY final
+    # state — no filesystem round-trip, so it follows exactly the state the
+    # phase ended on (explicit -l resumes included, stale run-dir
+    # checkpoints ignored) and works on multihost runs without a shared
+    # filesystem (only process 0 writes checkpoint files). fit() is a no-op
+    # for phases a relaunch finds already complete.
+    trainer = None
+    for coarse, fine, end_step in phases:
+        nerf_cfg_i = dataclasses.replace(
+            nerf_cfg, coarse_samples=coarse, fine_samples=fine
         )
-    trainer = Trainer(
-        nerf_cfg, train_cfg, args.base_dir, args.root_dir, name=args.name,
-        resume_ckpt=args.ckpt,
-        mesh=mesh,
-        mlp_apply=make_mlp_apply(kernel),
-        render_fn=make_render_fn(kernel),
-        wandb_project=args.wandb,
-    )
-    trainer.fit()
-    if finish:
-        trainer.logger.close()
-        nerf_cfg2 = dataclasses.replace(
-            nerf_cfg,
-            coarse_samples=args.finish_coarse,
-            fine_samples=args.finish_fine,
-        )
-        train_cfg2 = dataclasses.replace(train_cfg, max_steps=args.steps)
-        # phase 2 continues from phase 1's IN-MEMORY final state: no
-        # filesystem round-trip, so it follows exactly the state phase 1
-        # ended on (explicit -l resumes included, stale run-dir checkpoints
-        # ignored) and works on multihost runs without a shared filesystem
-        # (only process 0 writes checkpoint files)
-        trainer2 = Trainer(
-            nerf_cfg2, train_cfg2, args.base_dir, args.root_dir,
-            name=args.name, initial_state=trainer.final_state,
-            mesh=mesh,
-            mlp_apply=make_mlp_apply(kernel),
-            render_fn=make_render_fn(kernel),
-            wandb_project=args.wandb,
-        )
-        trainer2.fit()
+        train_cfg_i = dataclasses.replace(train_cfg, max_steps=end_step)
+        if trainer is None:
+            trainer = Trainer(
+                nerf_cfg_i, train_cfg_i, args.base_dir, args.root_dir,
+                name=args.name, resume_ckpt=args.ckpt,
+                mesh=mesh,
+                mlp_apply=make_mlp_apply(kernel),
+                render_fn=make_render_fn(kernel),
+                wandb_project=args.wandb,
+            )
+        else:
+            trainer.logger.close()
+            trainer = Trainer(
+                nerf_cfg_i, train_cfg_i, args.base_dir, args.root_dir,
+                name=args.name, initial_state=trainer.final_state,
+                mesh=mesh,
+                mlp_apply=make_mlp_apply(kernel),
+                render_fn=make_render_fn(kernel),
+                wandb_project=args.wandb,
+            )
+        trainer.fit()
 
 
 def train_single_nerf(args) -> None:
