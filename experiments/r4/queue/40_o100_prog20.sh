@@ -1,0 +1,14 @@
+#!/bin/bash
+# Epoch-faithful progressive 100k/20k (default 64+128 finish) arm.
+cd /root/repo
+SCENE=/tmp/obj100f/scene
+RD=/tmp/r4runs
+timeout 9000 python train_nerf.py -n o100-prog20 -s 120000 -r 4096 -rd $RD \
+  --kernel fused -l auto full -b $SCENE -cr 10 --fast --finish-steps 20000 \
+  > /tmp/r4_o100_prog20.log 2>&1
+echo "train rc=$?"
+ck=$(ls $RD/o100-prog20/checkpoints/*.ckpt 2>/dev/null | sort -t= -k3 -n | tail -1)
+echo "score ck=$ck"
+timeout 1800 python score.py -c "$ck" -b $SCENE -r 16384 >> /tmp/r4_o100_prog20.log 2>&1
+echo "score rc=$?"
+grep -E "PSNR|SSIM" /tmp/r4_o100_prog20.log | tail -4

@@ -143,7 +143,7 @@ class OccupancyConfig:
     def __post_init__(self):
         assert (self.resolution**3) % 32 == 0, self.resolution
         assert self.grid_source in self._GRID_SOURCES, self.grid_source
-        assert self.probe_method in ("auto", "gather", "onehot"), (
+        assert self.probe_method in ("auto", "gather", "onehot", "pallas"), (
             self.probe_method
         )
 
@@ -256,7 +256,24 @@ def _probe_bits_onehot(occ_words: jnp.ndarray, lin: jnp.ndarray) -> jnp.ndarray:
     return bit.reshape(lin.shape).astype(jnp.uint32)
 
 
-_PROBE_METHODS = {"gather": _probe_bits_gather, "onehot": _probe_bits_onehot}
+def _probe_bits_pallas(occ_words: jnp.ndarray, lin: jnp.ndarray) -> jnp.ndarray:
+    """Per-probe occupancy bits via the VMEM-resident Pallas kernel (the
+    one-hot matmul of ``_probe_bits_onehot`` with its ``[P, n_hi]``/
+    ``[P, 128]`` intermediates kept on-chip instead of round-tripping HBM;
+    ``kernels/occupancy_probe.py``). Bit-identical to both XLA lowerings;
+    interpret mode off-TPU."""
+    from minimal_nerf_tpu.kernels.occupancy_probe import probe_bits_pallas
+
+    return probe_bits_pallas(
+        occ_words, lin, interpret=jax.default_backend() != "tpu"
+    )
+
+
+_PROBE_METHODS = {
+    "gather": _probe_bits_gather,
+    "onehot": _probe_bits_onehot,
+    "pallas": _probe_bits_pallas,
+}
 
 # "auto" uses the one-hot MXU route while its [P, n_hi] one-hot stays small
 # (n_hi = G^3/2048; 128 at the measured-win G=64). Past ~2x that shape the

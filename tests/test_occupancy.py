@@ -276,6 +276,23 @@ def test_probe_bits_onehot_matches_gather():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_probe_bits_pallas_matches_gather():
+    """The VMEM-resident Pallas probe kernel (interpret mode off-TPU) must be
+    bit-identical to the gather lowering, including over word counts needing
+    n_hi padding and probe counts needing P_BLK padding."""
+    rng = np.random.default_rng(11)
+    for g, shape in ((16, (257, 13)), (64, (512, 64)), (32, (33,))):
+        n_words = g**3 // 32
+        words = jnp.asarray(
+            rng.integers(0, 2**32, size=n_words, dtype=np.uint32)
+        )
+        lin = jnp.asarray(rng.integers(0, g**3, size=shape, dtype=np.int32))
+        got = occ_lib._probe_bits_pallas(words, lin)
+        want = occ_lib._probe_bits_gather(words, lin)
+        assert got.shape == want.shape and got.dtype == want.dtype
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_query_bin_weights_probe_methods_agree():
     cfg = small_cfg(floor=0.25)
     g = cfg.resolution
@@ -286,9 +303,10 @@ def test_query_bin_weights_probe_methods_agree():
     d = jnp.asarray(rng.normal(0, 1, (33, 3)).astype(np.float32))
     a = occ_lib.query_bin_weights(words, o, d, cfg, 16, 2.0, 6.0,
                                   probe_method="gather")
-    b = occ_lib.query_bin_weights(words, o, d, cfg, 16, 2.0, 6.0,
-                                  probe_method="onehot")
-    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for method in ("onehot", "pallas"):
+        b = occ_lib.query_bin_weights(words, o, d, cfg, 16, 2.0, 6.0,
+                                      probe_method=method)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_update_grid_ema_grid_source_selects_net():

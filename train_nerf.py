@@ -195,12 +195,14 @@ def build_parser() -> argparse.ArgumentParser:
                                   "empty space (occ_fraction creep; +0.9 dB "
                                   "on the 120k object-scene A/B)")
     full_parser.add_argument("--occ-probe-method", default="auto",
-                             choices=("auto", "gather", "onehot"),
+                             choices=("auto", "gather", "onehot", "pallas"),
                              help="lowering of the per-probe grid lookup "
                                   "(bit-identical results): 'onehot' = MXU "
                                   "one-hot matmul (fastest at the default "
                                   "64^3 grid), 'gather' = per-element "
-                                  "lookups (wins at large grids); 'auto' "
+                                  "lookups (wins at large grids), 'pallas' "
+                                  "= the onehot resolution VMEM-resident "
+                                  "(kernels/occupancy_probe.py); 'auto' "
                                   "picks by grid size")
     full_parser.add_argument("--occ-update-every", type=int, default=16,
                              help="train steps between grid EMA updates")
