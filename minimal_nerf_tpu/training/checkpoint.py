@@ -97,6 +97,13 @@ def save_checkpoint(
     return path
 
 
+def read_header(path) -> Dict[str, Any]:
+    """Read only a checkpoint's JSON header (step, configs) — ``np.load``
+    is lazy per-array, so this never touches the weight leaves."""
+    with np.load(Path(path), allow_pickle=False) as z:
+        return json.loads(bytes(z["__header__"]).decode())
+
+
 def load_checkpoint(path) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Load raw checkpoint contents.
 

@@ -341,6 +341,40 @@ def test_finish_steps_validation():
         ])
 
 
+def test_finetune_steps_resumes_exactly_n(trained_run, fixture_scene, tmp_path):
+    """--finetune-steps N derives -s as ckpt_step + N (the re-numericize
+    workflow, VERDICT r3 #8): resume the step-6 donor, train exactly 3 more
+    steps, final checkpoint at step 9 (whatever -s says)."""
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+
+    _, donor_ck = trained_run
+    train_nerf.main([
+        "-n", "renum", "-s", "999999", "-r", "64", "-rd", str(tmp_path),
+        "--precision", "fp32", "-l", str(donor_ck),
+        "full", "-b", str(fixture_scene), "-c", "8", "-f", "8", "-cr", "0",
+        "--finetune-steps", "3",
+    ])
+    cks = sorted(
+        (tmp_path / "renum" / "checkpoints").glob("*.ckpt"),
+        key=lambda p: int(p.stem.split("step=")[1]),
+    )
+    assert cks, "finetune run saved no checkpoint"
+    header, _ = ckpt_lib.load_checkpoint(str(cks[-1]))
+    assert header["step"] == 9  # donor step 6 + 3
+
+
+def test_finetune_steps_validation():
+    for argv in (
+        ["-n", "x", "-s", "10", "full", "--finetune-steps", "3"],  # no -l
+        ["-n", "x", "-s", "10", "-l", "x.ckpt", "full",
+         "--finetune-steps", "3", "--finish-steps", "2"],  # multi-phase
+        ["-n", "x", "-s", "10", "-l", "x.ckpt", "full",
+         "--finetune-steps", "-1"],  # negative
+    ):
+        with pytest.raises(SystemExit):
+            train_nerf.main(argv)
+
+
 def test_budget_schedule_parsing():
     """parse_budget_schedule: phase tiling, remainder phase, error cases."""
     parse = train_nerf.parse_budget_schedule

@@ -154,6 +154,19 @@ def build_parser() -> argparse.ArgumentParser:
                                   "-c/-f; each phase continues in-memory "
                                   "from the last, and relaunches with "
                                   "-l auto skip completed phases")
+    full_parser.add_argument("--finetune-steps", type=int, default=0,
+                             metavar="N",
+                             help="train exactly N steps past the resumed "
+                                  "checkpoint (-l required; -s is derived "
+                                  "as ckpt_step + N). Primary use: "
+                                  "RE-NUMERICIZING a checkpoint for a "
+                                  "different compute kernel — weights adapt "
+                                  "to their training kernel's numerics "
+                                  "(2-6 dB scoring mismatch, PERFORMANCE.md "
+                                  "'Kernel consistency'), and a short "
+                                  "finetune under the target kernel "
+                                  "(e.g. --kernel xla for CPU inference) "
+                                  "recovers it")
     full_parser.add_argument("--lr-floor", type=float, default=0.0,
                              help="lower bound on the per-epoch exponential "
                                   "LR decay (0 = reference parity: the decay "
@@ -379,12 +392,53 @@ def resolve_phases(args):
     return [(args.coarse, args.fine, args.steps)]
 
 
+def apply_finetune_steps(args) -> None:
+    """Resolve ``--finetune-steps N`` into ``-s ckpt_step + N`` (in place).
+
+    Reads only the resumed checkpoint's header. Single-phase by definition —
+    a finetune is a continuation of an already-scheduled run.
+    """
+    finetune = getattr(args, "finetune_steps", 0) or 0
+    if not finetune:
+        return
+    if finetune < 0:
+        raise SystemExit(f"--finetune-steps must be positive; got {finetune}")
+    if getattr(args, "budget_schedule", None) or getattr(args, "finish_steps", 0):
+        raise SystemExit(
+            "--finetune-steps is a single-phase resume; it cannot combine "
+            "with --finish-steps/--budget-schedule"
+        )
+    if not args.ckpt:
+        raise SystemExit(
+            "--finetune-steps needs a checkpoint to resume (-l PATH or "
+            "-l auto)"
+        )
+    from pathlib import Path
+
+    from minimal_nerf_tpu.training import checkpoint as ckpt_lib
+
+    ckpt = args.ckpt
+    if ckpt == "auto":
+        latest = ckpt_lib.latest_checkpoint(
+            Path(args.root_dir) / args.name / "checkpoints"
+        )
+        if latest is None:
+            raise SystemExit(
+                f"--finetune-steps with -l auto: no checkpoint found under "
+                f"{Path(args.root_dir) / args.name / 'checkpoints'}"
+            )
+        ckpt = str(latest)
+    args.ckpt = ckpt
+    args.steps = ckpt_lib.read_header(ckpt)["step"] + finetune
+
+
 def train_full_nerf(args) -> None:
     import dataclasses
 
     from minimal_nerf_tpu.training.trainer import Trainer
 
     apply_fast_preset(args, _FAST_PRESET_DEFAULTS)
+    apply_finetune_steps(args)
     phases = resolve_phases(args)
     nerf_cfg = NeRFConfig(
         position_dim=args.position_encoding,
