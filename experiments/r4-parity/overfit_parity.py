@@ -10,6 +10,15 @@ hyperparameters, comparing reconstructed-view PSNR at equal step counts.
 Protocol (per framework):
 - dataset: the one fixture frame; per step, ``num_rays`` random pixels
   (each framework's own RNG stream — trajectory-level comparison).
+- crop warmup: the first ``crop_steps`` steps sample from the center half
+  of the image (the reference's own ``-cr`` mechanism,
+  ``dataloader.py:26-30``; 1 step = 1 epoch here). REQUIRED on this
+  fixture: it is ~92% black background (GT mean 0.077), and the first
+  no-crop attempt left the torch side pinned in the all-black local
+  minimum (render PSNR frozen at exactly 14.895 = the all-black score,
+  steps 150-300+) while the jax side escaped by trajectory luck — i.e.
+  exactly the instability the reference added cropping for (README.md:46).
+  Preserved log: /tmp/r4_parity_nocrop.log.
 - model: pos_dim 10 / dir_dim 4, coarse+fine hierarchical, near 2 far 6.
 - optimizer: Adam 5e-4, per-epoch ExponentialLR to 5e-5 over 1200 epochs;
   one frame => 1 step = 1 epoch in both (the reference steps its scheduler
@@ -136,8 +145,9 @@ def run_torch(args, out_csv):
 
     t0 = time.time()
     for step in range(1, args.steps + 1):
-        xs = torch.randint(0, W, (args.rays,))
-        ys = torch.randint(0, H, (args.rays,))
+        xs, ys = ref_dataloader.sample_random_coordinates(
+            args.rays, H, W, cropping=step <= args.crop_steps
+        )
         o = o_all[ys, xs]
         d = d_all[ys, xs]
         rgb = im_t[ys, xs]
@@ -192,10 +202,17 @@ def run_jax(args, out_csv):
     o_all, d_all = cameras.get_rays(H, W, float(focal), c2w_j)
 
     @jax.jit
-    def step_fn(params, opt_state, key):
+    def step_fn(params, opt_state, key, crop):
+        # crop warmup: same center-half bounds as the reference's
+        # sample_random_coordinates(cropping=True) (dataloader.py:26-30);
+        # traced bounds so one jit covers both phases
+        lo_x = jnp.where(crop, W // 4, 0)
+        hi_x = jnp.where(crop, W - W // 4, W)
+        lo_y = jnp.where(crop, H // 4, 0)
+        hi_y = jnp.where(crop, H - H // 4, H)
         kx, ky, kr = jax.random.split(key, 3)
-        xs = jax.random.randint(kx, (args.rays,), 0, W)
-        ys = jax.random.randint(ky, (args.rays,), 0, H)
+        xs = jax.random.randint(kx, (args.rays,), lo_x, hi_x)
+        ys = jax.random.randint(ky, (args.rays,), lo_y, hi_y)
         o, d, rgb = o_all[ys, xs], d_all[ys, xs], im_j[ys, xs]
         (loss, _), grads = jax.value_and_grad(nerf_loss, has_aux=True)(
             params, cfg, o, d, rgb, kr
@@ -221,7 +238,8 @@ def run_jax(args, out_csv):
     t0 = time.time()
     for step in range(1, args.steps + 1):
         params, opt_state, loss = step_fn(
-            params, opt_state, jax.random.fold_in(base, step)
+            params, opt_state, jax.random.fold_in(base, step),
+            jnp.asarray(step <= args.crop_steps),
         )
         if step % args.log_every == 0:
             print(
@@ -246,6 +264,9 @@ def main():
     ap.add_argument("--coarse", type=int, default=16)
     ap.add_argument("--fine", type=int, default=32)
     ap.add_argument("--eval-every", type=int, default=150)
+    ap.add_argument("--crop-steps", type=int, default=100,
+                    help="center-crop warmup steps (reference -cr; "
+                         "1 step = 1 epoch here)")
     ap.add_argument("--log-every", type=int, default=25)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="/tmp/r4_parity")
