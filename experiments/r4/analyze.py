@@ -1,0 +1,100 @@
+"""Round-4 epoch-faithful arm analysis (VERDICT r3 #1/#5).
+
+Reads each arm's live metrics.csv under --runs (default /tmp/r4runs),
+reconstructs training wall-clock from the logged per-window
+``iterations_per_sec`` (validation/checkpoint boundary work lands inside
+the following window's rate, so windows sum to end-to-end wall — same
+method as experiments/r3-object120k/time_to_quality.py), and prints:
+
+- per-arm: total wall, effective rays/s, final val-PSNR proxy
+  (``-10*log10(val_fine_loss)``), plus the score.py test PSNR/SSIM if the
+  arm's run log is present under /tmp/r4_<arm-suffix>.log
+- time-to-val-quality table across arms
+
+Run: python experiments/r4/analyze.py [--runs DIR] [arms...]
+"""
+
+import argparse
+import csv
+import math
+import pathlib
+import re
+
+DEFAULT_ARMS = ["o100-fast", "o100-prog60", "o100-prog20", "o100-sched3",
+                "o100-uni"]
+LOGS = pathlib.Path("/tmp")
+
+
+def analyze(runs: pathlib.Path, name: str):
+    path = runs / name / "metrics.csv"
+    if not path.exists():
+        return None
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    wall, prev_step, out = 0.0, 0, []
+    for r in rows:
+        step = int(r["step"])
+        if r.get("iterations_per_sec"):
+            ds = step - prev_step
+            its = float(r["iterations_per_sec"])
+            if ds > 0 and its > 0:
+                wall += ds / its
+            prev_step = step
+        if r.get("val_fine_loss"):
+            out.append((step, wall, float(r["val_fine_loss"])))
+    return out
+
+
+def scored(name: str):
+    """score.py PSNR/SSIM from the arm's run log, if finished."""
+    log = LOGS / f"r4_{name.replace('o100-', 'o100_')}.log"
+    if not log.exists():
+        return None, None
+    text = log.read_text(errors="ignore")
+    p = re.findall(r"average psnr score: ([0-9.]+)", text)
+    s = re.findall(r"average ssim score: ([0-9.]+)", text)
+    return (float(p[-1]) if p else None, float(s[-1]) if s else None)
+
+
+def time_to(series, db):
+    target = 10 ** (-db / 10)
+    for _step, wall, loss in series:
+        if loss <= target:
+            return wall / 60
+    return None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", default="/tmp/r4runs")
+    ap.add_argument("arms", nargs="*", default=DEFAULT_ARMS)
+    args = ap.parse_args()
+    runs = pathlib.Path(args.runs)
+    series = {a: analyze(runs, a) for a in args.arms}
+    print("arm          steps  wall_min  eff_rays/s  val_proxy   test_psnr  ssim")
+    for a in args.arms:
+        s = series[a]
+        if not s:
+            print(f"{a:12s} (no metrics.csv)")
+            continue
+        step, wall, loss = s[-1]
+        eff = step * 4096 / wall
+        psnr, ssim = scored(a)
+        print(f"{a:12s} {step:6d} {wall / 60:9.1f} {eff:11,.0f} "
+              f"{-10 * math.log10(loss):8.2f} dB "
+              f"{psnr if psnr else float('nan'):9.2f} "
+              f"{ssim if ssim else float('nan'):.4f}")
+    done = [a for a in args.arms if series[a]]
+    print("\ntime-to-val-quality (min, incl. compile+boundaries):")
+    print("target_dB " + " ".join(
+        f"{a.replace('o100-', ''):>8s}" for a in done))
+    for db in (40, 44, 46, 48, 49, 50, 51):
+        cells = [
+            f"{w:8.1f}" if (w := time_to(series[a], db)) else "       -"
+            for a in done
+        ]
+        print(f"{db:9d} " + " ".join(cells))
+
+
+if __name__ == "__main__":
+    main()
