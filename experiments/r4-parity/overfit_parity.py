@@ -18,7 +18,18 @@ Protocol (per framework):
   minimum (render PSNR frozen at exactly 14.895 = the all-black score,
   steps 150-300+) while the jax side escaped by trajectory luck — i.e.
   exactly the instability the reference added cropping for (README.md:46).
-  Preserved log: /tmp/r4_parity_nocrop.log.
+  Preserved log: /tmp/r4_parity_nocrop.log. A 100-step warmup did NOT
+  rescue the torch side either (log: /tmp/r4_parity2.log) — the
+  reference's own ship recipe uses cr=1000, 10x more.
+- ``--crop-mode all`` (the PINNED arm): sample from the center half for
+  the ENTIRE run and score PSNR over the center region only. This removes
+  the all-black-escape coin flip from the comparison altogether — both
+  frameworks solve the identical stable overfit problem, so the PSNR
+  delta measures *training math* parity, not trajectory luck.
+- ``--shared-init``: initialize BOTH frameworks from the identical
+  weights — ``init_nerf_network(PRNGKey(seed))`` exported to the torch
+  net via ``convert_ckpt.export_mlp_state`` (the parity-tested
+  converter) — removing init luck as well.
 - model: pos_dim 10 / dir_dim 4, coarse+fine hierarchical, near 2 far 6.
 - optimizer: Adam 5e-4, per-epoch ExponentialLR to 5e-5 over 1200 epochs;
   one frame => 1 step = 1 epoch in both (the reference steps its scheduler
@@ -72,12 +83,39 @@ def load_fixture():
     return im, gt_small, c2w, focal, H, W
 
 
-def psnr(pred_uint8: np.ndarray, gt_float: np.ndarray) -> float:
+def psnr(pred_uint8: np.ndarray, gt_float: np.ndarray, region=None) -> float:
     gt = (np.clip(gt_float, 0, 1) * 255).astype(np.uint8)
+    if region is not None:
+        (y0, y1), (x0, x1) = region
+        pred_uint8 = pred_uint8[y0:y1, x0:x1]
+        gt = gt[y0:y1, x0:x1]
     mse = np.mean(
         (pred_uint8.astype(np.float64) - gt.astype(np.float64)) ** 2
     )
     return 10.0 * np.log10(255.0**2 / mse)
+
+
+def eval_region(args, H, W):
+    """Score region in eval-render pixels: the center crop when the whole
+    run trains cropped (``--crop-mode all``), else the full image."""
+    if args.crop_mode != "all":
+        return None
+    return (
+        (H // 4 // SCALE, (H - H // 4) // SCALE),
+        (W // 4 // SCALE, (W - W // 4) // SCALE),
+    )
+
+
+def shared_init_params(args):
+    """The identical starting weights for both frameworks: the jax init
+    (plain pytree, ``models/nerf.py:init_nerf_network``)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network
+
+    cfg = NeRFConfig(coarse_samples=args.coarse, fine_samples=args.fine)
+    return init_nerf_network(jax.random.PRNGKey(args.seed), cfg), cfg
 
 
 # --------------------------------------------------------------- torch side
@@ -122,6 +160,19 @@ def run_torch(args, out_csv):
         position_dim=10, direction_dim=4,
         coarse_samples=args.coarse, fine_samples=args.fine,
     )
+    if args.shared_init:
+        from convert_ckpt import export_mlp_state
+
+        init_params, _ = shared_init_params(args)
+        state = {}
+        export_mlp_state(state, "coarse_network", init_params["coarse"])
+        export_mlp_state(state, "fine_network", init_params["fine"])
+        missing, unexpected = net.load_state_dict(state, strict=False)
+        assert not unexpected, unexpected
+        # strict=False only because the reference net registers no buffers;
+        # every learnable tensor must be covered
+        assert not [k for k in missing if "weight" in k or "bias" in k], missing
+        print(f"[torch] shared init loaded ({len(state)} tensors)")
     opt = torch.optim.Adam(net.parameters(), lr=5e-4)
     sched = torch.optim.lr_scheduler.ExponentialLR(
         opt, gamma=(0.1) ** (1 / 1200)
@@ -131,6 +182,7 @@ def run_torch(args, out_csv):
     o_all, d_all = ref_dataloader.get_rays(H, W, focal, c2w_t)
 
     rows = []
+    region = eval_region(args, H, W)
 
     def evaluate(step):
         hs, ws = H // SCALE, W // SCALE
@@ -139,14 +191,15 @@ def run_torch(args, out_csv):
             pred = ref_helpers.view_reconstruction(
                 net, o_s, d_s, N=args.rays
             )
-        p = psnr(np.asarray(pred), gt_small)
+        p = psnr(np.asarray(pred), gt_small, region)
         rows.append({"step": step, "psnr": p})
         print(f"[torch] step {step}: psnr {p:.3f}", flush=True)
 
     t0 = time.time()
     for step in range(1, args.steps + 1):
+        cropping = args.crop_mode == "all" or step <= args.crop_steps
         xs, ys = ref_dataloader.sample_random_coordinates(
-            args.rays, H, W, cropping=step <= args.crop_steps
+            args.rays, H, W, cropping=cropping
         )
         o = o_all[ys, xs]
         d = d_all[ys, xs]
@@ -194,12 +247,16 @@ def run_jax(args, out_csv):
     im_j = jnp.asarray(im)
     c2w_j = jnp.asarray(c2w)
 
+    # --shared-init is a no-op here by construction: the jax init IS the
+    # shared init (shared_init_params uses the same key+config)
     cfg = NeRFConfig(coarse_samples=args.coarse, fine_samples=args.fine)
     params = init_nerf_network(jax.random.PRNGKey(args.seed), cfg)
     gamma = (0.1) ** (1 / 1200)
     tx = optax.adam(lambda step: 5e-4 * gamma**step)  # 1 step = 1 epoch
     opt_state = tx.init(params)
     o_all, d_all = cameras.get_rays(H, W, float(focal), c2w_j)
+
+    crop_all = args.crop_mode == "all"
 
     @jax.jit
     def step_fn(params, opt_state, key, crop):
@@ -222,6 +279,7 @@ def run_jax(args, out_csv):
 
     render_chunk = views.make_param_render_chunk(cfg)
     rows = []
+    region = eval_region(args, H, W)
 
     def evaluate(params, step):
         hs, ws = H // SCALE, W // SCALE
@@ -230,7 +288,7 @@ def run_jax(args, out_csv):
             render_chunk, params, o_s, d_s, chunk=args.rays,
             key=jax.random.PRNGKey(1),
         )
-        p = psnr(np.asarray(pred), gt_small)
+        p = psnr(np.asarray(pred), gt_small, region)
         rows.append({"step": step, "psnr": p})
         print(f"[jax] step {step}: psnr {p:.3f}", flush=True)
 
@@ -239,7 +297,7 @@ def run_jax(args, out_csv):
     for step in range(1, args.steps + 1):
         params, opt_state, loss = step_fn(
             params, opt_state, jax.random.fold_in(base, step),
-            jnp.asarray(step <= args.crop_steps),
+            jnp.asarray(crop_all or step <= args.crop_steps),
         )
         if step % args.log_every == 0:
             print(
@@ -267,6 +325,14 @@ def main():
     ap.add_argument("--crop-steps", type=int, default=100,
                     help="center-crop warmup steps (reference -cr; "
                          "1 step = 1 epoch here)")
+    ap.add_argument("--crop-mode", choices=["warmup", "all"],
+                    default="warmup",
+                    help="'all' = crop the ENTIRE run and score the center "
+                         "region only (the pinned parity arm: no all-black "
+                         "escape coin flip)")
+    ap.add_argument("--shared-init", action="store_true",
+                    help="start both frameworks from the identical weights "
+                         "(jax init exported to torch via convert_ckpt)")
     ap.add_argument("--log-every", type=int, default=25)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="/tmp/r4_parity")

@@ -23,6 +23,7 @@ import re
 DEFAULT_ARMS = ["o100-fast", "o100-prog60", "o100-prog20", "o100-sched3",
                 "o100-uni"]
 LOGS = pathlib.Path("/tmp")
+STALL_FRAC = 0.2  # window rate < 20% of the local median => tunnel stall
 
 
 def analyze(runs: pathlib.Path, name: str):
@@ -31,18 +32,42 @@ def analyze(runs: pathlib.Path, name: str):
         return None
     with open(path) as f:
         rows = list(csv.DictReader(f))
-    wall, prev_step, out = 0.0, 0, []
+    # The axon tunnel occasionally stalls for minutes mid-run (observed: a
+    # 1,520 s window at 269 rays/s inside o100-sched3, step 97500 — 25 min
+    # of a 68-min run); a window far below the LOCAL healthy rate (median
+    # of its ±5 neighbors — local, because budget-schedule phases change
+    # the true rate) is a tunnel artifact, not compute (CLAUDE.md "treat a
+    # lone catastrophic number as a stall first"). Report both raw and
+    # stall-adjusted wall.
+    win = [(int(r["step"]), float(r["iterations_per_sec"]))
+           for r in rows if r.get("iterations_per_sec")]
+    local_med = []
+    for i in range(len(win)):
+        nb = [v for _, v in win[max(0, i - 5):i + 6]]
+        nb.sort()
+        local_med.append(nb[len(nb) // 2])
+    adj_rate = dict()  # step -> healthy rate for stall windows
+    for (s, v), m in zip(win, local_med):
+        if v < m * STALL_FRAC:
+            adj_rate[s] = m
+    wall, adj_wall, stall_s, prev_step, out = 0.0, 0.0, 0.0, 0, []
     for r in rows:
         step = int(r["step"])
         if r.get("iterations_per_sec"):
             ds = step - prev_step
             its = float(r["iterations_per_sec"])
             if ds > 0 and its > 0:
-                wall += ds / its
+                dt = ds / its
+                wall += dt
+                if step in adj_rate:
+                    adj = ds / adj_rate[step]
+                    stall_s += dt - adj
+                    dt = adj
+                adj_wall += dt
             prev_step = step
         if r.get("val_fine_loss"):
             out.append((step, wall, float(r["val_fine_loss"])))
-    return out
+    return out, adj_wall, stall_s
 
 
 def scored(name: str):
@@ -70,17 +95,21 @@ def main():
     ap.add_argument("arms", nargs="*", default=DEFAULT_ARMS)
     args = ap.parse_args()
     runs = pathlib.Path(args.runs)
-    series = {a: analyze(runs, a) for a in args.arms}
-    print("arm          steps  wall_min  eff_rays/s  val_proxy   test_psnr  ssim")
+    results = {a: analyze(runs, a) for a in args.arms}
+    series = {a: (r[0] if r else None) for a, r in results.items()}
+    print("arm          steps  wall_min  adj_min  stall_min  eff_rays/s  "
+          "adj_rays/s  val_proxy   test_psnr  ssim")
     for a in args.arms:
-        s = series[a]
-        if not s:
+        if not results[a]:
             print(f"{a:12s} (no metrics.csv)")
             continue
+        s, adj_wall, stall_s = results[a]
         step, wall, loss = s[-1]
         eff = step * 4096 / wall
+        adj_eff = step * 4096 / adj_wall
         psnr, ssim = scored(a)
-        print(f"{a:12s} {step:6d} {wall / 60:9.1f} {eff:11,.0f} "
+        print(f"{a:12s} {step:6d} {wall / 60:9.1f} {adj_wall / 60:8.1f} "
+              f"{stall_s / 60:10.1f} {eff:11,.0f} {adj_eff:11,.0f} "
               f"{-10 * math.log10(loss):8.2f} dB "
               f"{psnr if psnr else float('nan'):9.2f} "
               f"{ssim if ssim else float('nan'):.4f}")
