@@ -97,10 +97,21 @@ def save_checkpoint(
     return path
 
 
+def _ckpt_file(path) -> Path:
+    """Validate a checkpoint path up front: an empty or missing path
+    otherwise surfaces as np.load's confusing ``IsADirectoryError: '.'``
+    (hit in practice by ``score.py -c ""`` from a shell var that an
+    earlier failed step left unset)."""
+    p = Path(path)
+    if not p.is_file():
+        raise FileNotFoundError(f"checkpoint not found: {str(path)!r}")
+    return p
+
+
 def read_header(path) -> Dict[str, Any]:
     """Read only a checkpoint's JSON header (step, configs) — ``np.load``
     is lazy per-array, so this never touches the weight leaves."""
-    with np.load(Path(path), allow_pickle=False) as z:
+    with np.load(_ckpt_file(path), allow_pickle=False) as z:
         return json.loads(bytes(z["__header__"]).decode())
 
 
@@ -111,7 +122,7 @@ def load_checkpoint(path) -> Tuple[Dict[str, Any], Dict[str, Any]]:
         ``(header, leaves_by_index)`` — use ``restore_state`` to rebuild
         pytrees against templates.
     """
-    with np.load(Path(path), allow_pickle=False) as z:
+    with np.load(_ckpt_file(path), allow_pickle=False) as z:
         header = json.loads(bytes(z["__header__"]).decode())
         leaves = {
             int(k.split("_", 1)[1]): z[k] for k in z.files if k.startswith("leaf_")

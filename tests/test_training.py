@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from minimal_nerf_tpu.models.nerf import NeRFConfig, init_nerf_network
 from minimal_nerf_tpu.training import (
@@ -109,6 +110,16 @@ def test_latest_checkpoint(tmp_path):
         (tmp_path / ckpt_lib.checkpoint_name("x", e, s)).write_bytes(b"")
     latest = ckpt_lib.latest_checkpoint(tmp_path)
     assert latest is not None and "step=599" in latest.name
+
+
+def test_load_missing_checkpoint_is_a_clear_error(tmp_path):
+    # an empty or wrong -c path must not surface as np.load's
+    # IsADirectoryError('.') (hit by score.py -c "" in a run script)
+    for bad in ("", str(tmp_path / "nope.ckpt"), str(tmp_path)):
+        with pytest.raises(FileNotFoundError, match="checkpoint not found"):
+            ckpt_lib.load_checkpoint(bad)
+        with pytest.raises(FileNotFoundError, match="checkpoint not found"):
+            ckpt_lib.read_header(bad)
 
 
 def test_train_step_descends_loss(fixture_scene):
