@@ -52,7 +52,10 @@ def resolve_inference_kernel(kernel: str, train_cfg=None, backend=None) -> str:
             f"kernel, but the current backend is '{backend}' (no Pallas); "
             "falling back to 'xla'. Scores/renders will be DEGRADED by the "
             "train/inference numerics mismatch (typically 2-6 dB PSNR) — "
-            "re-run on a TPU backend for faithful outputs.",
+            "re-run on a TPU backend for faithful outputs, or migrate the "
+            "checkpoint with `train_nerf.py -l CKPT --kernel xla "
+            "--finetune-steps 300 ...` (measured to recover the full "
+            "mismatch; PERFORMANCE.md 'Checkpoint numerics migration').",
             file=sys.stderr,
         )
     return "xla"
