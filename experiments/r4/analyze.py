@@ -50,14 +50,25 @@ def analyze(runs: pathlib.Path, name: str):
     for (s, v), m in zip(win, local_med):
         if v < m * STALL_FRAC:
             adj_rate[s] = m
-    wall, adj_wall, stall_s, prev_step, out = 0.0, 0.0, 0.0, 0, []
+    # prefer the exact per-row wall clock when the run logged it
+    # (trainer logs `wall_seconds` since round 4); reconstruct from
+    # per-window rates for older CSVs. Stall adjustment applies either way.
+    wall, adj_wall, stall_s, prev_step, prev_ws, out = 0.0, 0.0, 0.0, 0, 0.0, []
     for r in rows:
         step = int(r["step"])
         if r.get("iterations_per_sec"):
             ds = step - prev_step
             its = float(r["iterations_per_sec"])
             if ds > 0 and its > 0:
-                dt = ds / its
+                if r.get("wall_seconds"):
+                    # exact session-relative clock; a drop = a resume
+                    # (new session), whose first row contributes its own
+                    # session-relative time
+                    ws = float(r["wall_seconds"])
+                    dt = ws - prev_ws if ws >= prev_ws else ws
+                    prev_ws = ws
+                else:
+                    dt = ds / its
                 wall += dt
                 if step in adj_rate:
                     adj = ds / adj_rate[step]

@@ -270,7 +270,12 @@ class Trainer:
             return min(c for c in candidates if c > s)
 
         pending_metrics = None
-        t_last = time.perf_counter()
+        # session-relative wall clock logged with every row (wall_seconds):
+        # makes wall/stall analysis exact instead of reconstructed from
+        # per-window rates (experiments/r4/analyze.py). Resumes restart it
+        # at 0 — consumers should diff within a session.
+        t_fit_start = time.perf_counter()
+        t_last = t_fit_start
         steps_since_log = 0
         step = start_step
         while step < cfg.max_steps:
@@ -317,6 +322,7 @@ class Trainer:
                 fetched["rays_per_sec"] = it_s * cfg.num_rays
                 # reference key (nerf_model.py:167): seconds per train step
                 fetched["train iteration speed"] = 1.0 / it_s
+                fetched["wall_seconds"] = now - t_fit_start
                 self.logger.log_scalars(step, fetched)
                 t_last, steps_since_log = now, 0
 
@@ -340,6 +346,7 @@ class Trainer:
                     val_scalars,
                     val_seconds=t_val,
                     ckpt_seconds=time.perf_counter() - t0,
+                    wall_seconds=time.perf_counter() - t_fit_start,
                 ))
             elif step % cfg.ckpt_every_steps == 0:
                 self.save(params, opt_state, step)

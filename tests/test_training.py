@@ -238,6 +238,14 @@ def test_trainer_end_to_end(fixture_scene, tmp_path):
     ckpts = list((tmp_path / "smoke" / "checkpoints").glob("*.ckpt"))
     assert ckpts, "no checkpoint written"
     assert (tmp_path / "smoke" / "metrics.csv").exists()
+    # every row carries the session wall clock, monotonically increasing
+    # (exact wall basis for stall/time-to-quality analysis)
+    import csv as _csv
+
+    with open(tmp_path / "smoke" / "metrics.csv") as f:
+        walls = [float(r["wall_seconds"]) for r in _csv.DictReader(f)
+                 if r.get("wall_seconds")]
+    assert walls and walls == sorted(walls)
     # validation ran (6 steps / 3 per epoch = 2 epochs; val every 2 epochs)
     images = list((tmp_path / "smoke" / "images").glob("*.png"))
     assert images, "no validation image written"
