@@ -95,6 +95,13 @@ ARMS = [
     ("3-phase schedule", 51.54, 40.1, "progressive"),
 ]
 
+# seed-1 replicates of the headline pair (hollow markers): quality shifts
+# within ±0.5 dB seed noise while the walls replicate exactly
+REPLICATES = [
+    ("uniform 64+128", 51.50, 72.8, "baseline"),
+    ("prog 100k/20k", 50.56, 33.1, "progressive"),
+]
+
 
 def tradeoff_figure():
     fig, ax = plt.subplots(figsize=(6.4, 3.8), dpi=150)
@@ -110,11 +117,21 @@ def tradeoff_figure():
             xy, ha = (-8, -3), "right"
         elif name == "3-phase schedule":
             xy, ha = (8, 5), "left"
+        elif name == "uniform 64+128":
+            xy, ha = (-10, -3), "right"
         else:
             xy, ha = (0, 8), "center"
         ax.annotate(name, (wall, psnr), xytext=xy,
                     textcoords="offset points", ha=ha,
                     color=TEXT, fontsize=8.5)
+    for name, psnr, wall, kind in REPLICATES:
+        color = BLUE if kind == "progressive" else ORANGE
+        ax.scatter([wall], [psnr], s=60, facecolors=SURFACE,
+                   edgecolors=color, linewidths=2, zorder=3)
+        xy, ha = ((8, -3), "left") if kind == "baseline" else ((-8, -3), "right")
+        ax.annotate("seed 1", (wall, psnr), xytext=xy,
+                    textcoords="offset points", ha=ha,
+                    color=TEXT2, fontsize=8)
     uni = ARMS[0]
     ax.axhline(uni[1], color=ORANGE, linewidth=1, linestyle=(0, (4, 4)),
                alpha=0.6)
