@@ -11,9 +11,9 @@ scan-fused multi-step):
   42.01 dB at 12k steps, PERFORMANCE.md "Occupancy-grid sampling A/B"). At
   full reference length the low budget saturates below 64+128; the
   documented recipe there is ``--fast --finish-steps N`` (bigger budget for
-  the last N steps), measured on the epoch-faithful 120k A/B at +0.38 dB
-  PSNR OVER the uniform twin at 2.2x its effective rate
-  (PERFORMANCE.md "Epoch-faithful arms").
+  the last N steps), measured on the epoch-faithful 120k A/B (two seeds) at
+  uniform-twin quality within seed noise (mean -0.3 dB) at 2.2x its
+  effective rate (PERFORMANCE.md "Epoch-faithful arms").
 - the **production config** (uniform 64+128, exact reference sampling
   semantics), reported alongside in the same JSON object.
 
@@ -186,9 +186,10 @@ def main() -> None:
                     "--fast recipe (occupancy 16+48, fused kernel, one-hot "
                     "bin probes); quality-neutral vs 64+128 at equal steps "
                     "pre-saturation (12k pair); at reference length use "
-                    "--finish-steps: +0.38 dB PSNR over the uniform twin "
-                    "at 2.2x its effective rate on the epoch-faithful "
-                    "120k A/B (PERFORMANCE.md Epoch-faithful arms)"
+                    "--finish-steps: uniform-twin quality within seed "
+                    "noise (mean -0.3 dB over two seeds) at 2.2x its "
+                    "effective rate on the epoch-faithful 120k A/B "
+                    "(PERFORMANCE.md Epoch-faithful arms)"
                     if fast is not None
                     else "production 64+128 (fast path unavailable)"
                 ),
