@@ -50,9 +50,13 @@ def main() -> None:
                         choices=("both", "coarse", "fine"))
     parser.add_argument("--name", default="demo",
                         help="run name under --out (for A/B comparisons)")
-    parser.add_argument("--scene", choices=["field", "object"], default="field",
-                        help="'object' = compact Blender-like cluster with "
-                             "mostly empty space (the occupancy regime)")
+    parser.add_argument("--scene",
+                        choices=["field", "object", "thin", "shell"],
+                        default="field",
+                        help="occupancy archetype: 'object' = compact "
+                             "Blender-like cluster (the occupancy regime), "
+                             "'thin' = branching ficus/mic-like, 'shell' = "
+                             "hollow ship-like surface")
     parser.add_argument("--cr", type=int, default=0,
                         help="center-crop warmup epochs (the reference's "
                              "remedy for empty-background scenes; one epoch "

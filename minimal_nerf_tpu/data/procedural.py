@@ -70,6 +70,60 @@ class SphereField:
             densities=rng.uniform(40.0, 120.0, num_spheres).astype(np.float32),
         )
 
+    @classmethod
+    def random_thin(cls, key: int = 0, num_branches: int = 6,
+                    steps_per_branch: int = 36) -> "SphereField":
+        """Thin branching structure (ficus/mic analogue).
+
+        Tiny beads along random-walk branches growing up from a trunk —
+        the hardest occupancy profile in the Blender set: sub-percent
+        occupied volume, fine geometry, mostly-empty crops (the regime
+        the reference's ``-cr`` center-crop warmup exists for,
+        reference ``README.md:46-47``).
+        """
+        rng = np.random.default_rng(key)
+        centers = [np.linspace([0.0, -0.85, 0.0], [0.0, -0.1, 0.0], 10)]
+        for _ in range(num_branches):
+            pos = np.array([0.0, rng.uniform(-0.3, 0.1), 0.0])
+            step = rng.normal(size=3)
+            step[1] = abs(step[1])  # grow upward
+            step /= np.linalg.norm(step) + 1e-9
+            pts = []
+            for _ in range(steps_per_branch):
+                step += 0.22 * rng.normal(size=3)
+                step[1] = abs(step[1]) * 0.6 + 0.15
+                step /= np.linalg.norm(step) + 1e-9
+                pos = pos + 0.06 * step
+                r = np.linalg.norm(pos)
+                if r > 0.92:  # keep inside the unit ball
+                    pos = pos * (0.92 / r)
+                pts.append(pos.copy())
+            centers.append(np.stack(pts))
+        centers = np.concatenate(centers).astype(np.float32)
+        k = centers.shape[0]
+        return cls(
+            centers=centers,
+            radii=rng.uniform(0.015, 0.04, k).astype(np.float32),
+            colors=rng.uniform(0.15, 1.0, (k, 3)).astype(np.float32),
+            densities=rng.uniform(160.0, 320.0, k).astype(np.float32),
+        )
+
+    @classmethod
+    def random_shell(cls, key: int = 0, num_spheres: int = 110) -> "SphereField":
+        """Hollow shell (ship-hull/materials analogue): beads on an
+        ellipsoid surface, empty both inside and outside — occupancy is
+        a thin 2-D surface embedded in the 3-D frustum."""
+        rng = np.random.default_rng(key)
+        dirs = rng.normal(size=(num_spheres, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True) + 1e-9
+        axes = np.array([0.85, 0.45, 0.65])
+        return cls(
+            centers=(dirs * axes).astype(np.float32),
+            radii=rng.uniform(0.05, 0.12, num_spheres).astype(np.float32),
+            colors=rng.uniform(0.1, 1.0, (num_spheres, 3)).astype(np.float32),
+            densities=rng.uniform(50.0, 140.0, num_spheres).astype(np.float32),
+        )
+
     def field(self, pts: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Analytic (density, rgb) at points ``[..., 3]``.
 
@@ -164,6 +218,7 @@ def make_procedural_scene(
     seed: int = 0,
     gt_samples: int = 256,
     scene: str = "field",
+    chunk: int = 65536,
 ):
     """Generate in-memory ``SyntheticScene``s for each split.
 
@@ -172,17 +227,22 @@ def make_procedural_scene(
     variation.
 
     Args:
-        scene: ``"field"`` (large spheres through the box) or ``"object"``
-            (compact Blender-like cluster, mostly empty space).
+        scene: ``"field"`` (large spheres through the box), ``"object"``
+            (compact Blender-like cluster), ``"thin"`` (branching
+            ficus/mic-like structure) or ``"shell"`` (hollow
+            ship-hull-like surface).
 
     Returns:
         dict split -> SyntheticScene, plus the generating ``field``.
     """
     if field is None:
-        field = (
-            SphereField.random_object(seed) if scene == "object"
-            else SphereField.random(seed)
-        )
+        makers = {
+            "field": SphereField.random,
+            "object": SphereField.random_object,
+            "thin": SphereField.random_thin,
+            "shell": SphereField.random_shell,
+        }
+        field = makers[scene](seed)
     focal = cameras.focal_from_angle(width, camera_angle_x)
     scenes = {}
     offsets = {"train": 0.0, "val": 3.1, "test": 7.3}
@@ -194,7 +254,8 @@ def make_procedural_scene(
             pose = cameras.pose_spherical(theta, phi, 4.0)
             images.append(
                 render_analytic_view(
-                    field, pose, height, width, focal, num_samples=gt_samples
+                    field, pose, height, width, focal,
+                    num_samples=gt_samples, chunk=chunk,
                 )
             )
             poses.append(pose)
@@ -241,8 +302,16 @@ if __name__ == "__main__":
     parser.add_argument("--size", type=int, default=100, help="image H=W")
     parser.add_argument("--train-frames", type=int, default=20)
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--scene", choices=["field", "object"], default="field",
-                        help="'object' = compact Blender-like cluster")
+    parser.add_argument("--gt-samples", type=int, default=256,
+                        help="integration samples/ray for the ground-truth "
+                             "render (lower for quick fixtures)")
+    parser.add_argument("--chunk", type=int, default=65536,
+                        help="rays per render dispatch (lower on CPU)")
+    parser.add_argument("--scene", choices=["field", "object", "thin", "shell"],
+                        default="field",
+                        help="occupancy archetype: 'object' = compact "
+                             "Blender-like cluster, 'thin' = branching "
+                             "ficus/mic-like, 'shell' = hollow ship-like")
     args = parser.parse_args()
     scenes, _ = make_procedural_scene(
         split_frames=(("train", args.train_frames), ("val", 2), ("test", 4)),
@@ -250,6 +319,8 @@ if __name__ == "__main__":
         width=args.size,
         seed=args.seed,
         scene=args.scene,
+        gt_samples=args.gt_samples,
+        chunk=args.chunk,
     )
     save_scene_tree(scenes, args.out)
     print(f"wrote procedural scene to {args.out}")

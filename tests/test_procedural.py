@@ -50,6 +50,53 @@ def test_make_and_save_procedural_scene(tmp_path):
     assert abs(loaded.focal - scenes["test"].focal) < 1e-6
 
 
+def test_thin_scene_is_sparse_and_visible():
+    from minimal_nerf_tpu.ops import cameras
+
+    f = SphereField.random_thin(0)
+    # every bead stays inside the unit ball
+    extent = np.linalg.norm(f.centers, axis=1) + f.radii
+    assert (extent < 1.0).all()
+    # deterministic per seed
+    f2 = SphereField.random_thin(0)
+    np.testing.assert_array_equal(f.centers, f2.centers)
+    pose = cameras.pose_spherical(30.0, -30.0, 4.0)
+    im = render_analytic_view(f, pose, 48, 48,
+                              cameras.focal_from_angle(48, 0.69),
+                              num_samples=128, chunk=2304)
+    dark = (im.sum(axis=-1) < 10).mean()
+    assert im.max() > 30  # structure is visible
+    assert dark > 0.6  # and MOST of the view is empty space (thin regime)
+
+
+def test_shell_scene_is_hollow_surface():
+    from minimal_nerf_tpu.ops import cameras
+
+    f = SphereField.random_shell(0)
+    # beads sit ON the ellipsoid surface: radial residual of the
+    # normalized coordinates is ~1 for every center
+    axes = np.array([0.85, 0.45, 0.65])
+    r = np.linalg.norm(f.centers / axes, axis=1)
+    np.testing.assert_allclose(r, 1.0, atol=1e-5)
+    # the interior is empty: density at the origin ~ 0
+    sigma, _ = f.field(np.zeros((1, 3), dtype=np.float32))
+    assert float(sigma[0, 0]) < 1e-2
+    pose = cameras.pose_spherical(-60.0, -30.0, 4.0)
+    im = render_analytic_view(f, pose, 48, 48,
+                              cameras.focal_from_angle(48, 0.69),
+                              num_samples=128, chunk=2304)
+    assert im.max() > 30
+
+
+def test_make_procedural_scene_dispatches_archetypes():
+    for name in ("thin", "shell"):
+        scenes, field = make_procedural_scene(
+            split_frames=(("train", 1), ("test", 1)),
+            height=16, width=16, gt_samples=32, scene=name,
+        )
+        assert scenes["train"].images.shape == (1, 16, 16, 3)
+
+
 def test_object_scene_is_compact_with_empty_margins():
     from minimal_nerf_tpu.data.procedural import SphereField
 
