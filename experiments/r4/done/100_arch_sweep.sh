@@ -7,7 +7,7 @@
 # 20 train frames, 100x100, seed 0, scored at each model's trained budget.
 cd /root/repo
 RD=/tmp/r4runs
-for arch in field thin shell; do
+for arch in thin shell field; do
   SCENE=/tmp/sw_${arch}/scene
   if [ ! -f "$SCENE/transforms_train.json" ]; then
     timeout 2400 python -m minimal_nerf_tpu.data.procedural \
