@@ -79,6 +79,7 @@ def test_train_simple_cli(fixture_scene, tmp_path):
     assert list((tmp_path / "simpletest" / "images").glob("*.png"))
 
 
+@pytest.mark.slow
 def test_score_cli_data_parallel_matches_single(trained_run, fixture_scene):
     """--data-parallel scoring on the virtual mesh gives the same PSNR/SSIM
     (same render keys per chunk shard modulo fold_in decorrelation, so the
@@ -117,6 +118,7 @@ def test_render_cli_data_parallel(trained_run, tmp_path):
     assert gif.exists() and gif.name.endswith("-360.gif")
 
 
+@pytest.mark.slow
 def test_train_full_cli_occupancy(fixture_scene, tmp_path):
     """--occupancy trains, logs occ_fraction, and render/score accept the ckpt."""
     train_nerf.main(
@@ -191,6 +193,7 @@ def test_fast_preset_expansion():
     assert args4.steps_per_call == 1 and not args4.occupancy
 
 
+@pytest.mark.slow
 def test_train_full_cli_fast_flag(fixture_scene, tmp_path):
     """`full --fast` trains end-to-end (occupancy on, reduced samples)."""
     train_nerf.main(
@@ -219,6 +222,7 @@ def test_train_full_cli_fast_flag(fixture_scene, tmp_path):
     assert TrainConfig.from_dict(header["train_config"]).occupancy
 
 
+@pytest.mark.slow
 def test_progressive_resume_changes_sample_budget(fixture_scene, tmp_path):
     """A fast-recipe checkpoint resumes under a bigger sample budget (the
     progressive fast-then-finish schedule): params/opt/grid restore across a
@@ -254,6 +258,7 @@ def test_progressive_resume_changes_sample_budget(fixture_scene, tmp_path):
     assert ncfg.coarse_samples == 64 and ncfg.fine_samples == 128
 
 
+@pytest.mark.slow
 def test_finish_steps_one_flag_progressive(fixture_scene, tmp_path):
     """--finish-steps runs the fast-then-finish schedule in ONE invocation:
     phase 1 at the configured budget to steps-N, phase 2 resumed at the
@@ -404,6 +409,7 @@ def test_budget_schedule_parsing():
         ])
 
 
+@pytest.mark.slow
 def test_budget_schedule_three_phase(fixture_scene, tmp_path):
     """--budget-schedule runs an N-phase progressive schedule in ONE
     invocation (VERDICT r3 #5): per-phase sample budgets land in the phase
@@ -444,6 +450,7 @@ def test_budget_schedule_three_phase(fixture_scene, tmp_path):
     assert final.stat().st_mtime_ns == mtimes[final.name]
 
 
+@pytest.mark.slow
 def test_val_render_every_skips_images(fixture_scene, tmp_path):
     """val_render_every=N renders the recon image on every Nth validation
     only; val losses still log at every boundary."""

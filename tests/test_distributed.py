@@ -136,6 +136,7 @@ def test_multihost_matches_single_process(multihost_run, fixture_scene,
         assert abs(mh - sp) <= 0.10 * max(abs(sp), 1e-6), (s, mh, sp)
 
 
+@pytest.mark.slow
 def test_multihost_occupancy_runs_and_checkpoints_grid(fixture_scene,
                                                        tmp_path_factory):
     """The fast-recipe combination: occupancy-guided sampling over a

@@ -11,12 +11,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import __graft_entry__ as graft  # noqa: E402
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     graft.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_hermetic_from_hostile_env():
     """The dryrun must self-isolate when the ambient env doesn't pin a CPU mesh.
 

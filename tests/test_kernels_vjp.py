@@ -55,6 +55,7 @@ def test_pallas_vjp_matches_autodiff(mlp_params):
         assert err < 1e-4, f"grad mismatch at {ks}: rel err {err}"
 
 
+@pytest.mark.slow
 def test_pallas_vjp_in_full_render_loss(mlp_params):
     cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
     key = jax.random.PRNGKey(2)

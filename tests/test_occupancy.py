@@ -400,6 +400,7 @@ def _tiny_scene(n_frames=2, size=16):
     return jnp.asarray(images), jnp.asarray(poses)
 
 
+@pytest.mark.slow
 def test_occupancy_train_step_runs_and_is_deterministic():
     from minimal_nerf_tpu.training import TrainConfig, make_train_step
     from minimal_nerf_tpu.training.loop import SceneStatic
@@ -437,6 +438,7 @@ def test_occupancy_train_step_runs_and_is_deterministic():
     assert all(np.isfinite(l1))
 
 
+@pytest.mark.slow
 def test_occupancy_multi_step_matches_single_steps():
     from minimal_nerf_tpu.training import TrainConfig
     from minimal_nerf_tpu.training.loop import (
@@ -483,6 +485,7 @@ def test_occupancy_multi_step_matches_single_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_occupancy_mesh_matches_unsharded():
     from minimal_nerf_tpu.parallel import make_mesh
     from minimal_nerf_tpu.training import TrainConfig, make_train_step
@@ -539,6 +542,7 @@ def test_occupancy_mesh_matches_unsharded():
 # -------------------------------------------------------------- trainer e2e
 
 
+@pytest.mark.slow
 def test_trainer_occupancy_end_to_end_and_resume(fixture_scene, tmp_path):
     """Occupancy fit runs, checkpoints carry the grid, resume is exact.
 
@@ -602,6 +606,7 @@ def test_trainer_occupancy_steps_per_call(fixture_scene, tmp_path):
     assert params is not None and trainer._grid is not None
 
 
+@pytest.mark.slow
 def test_score_uses_checkpoint_grid(fixture_scene, tmp_path):
     """score.py renders occupancy checkpoints with their grid by default.
 
@@ -713,6 +718,7 @@ def test_bake_grid_marks_dense_cells_and_is_decay_free():
     assert (b >= one - 1e-6).all()
 
 
+@pytest.mark.slow
 def test_score_bake_occupancy_on_uniform_checkpoint(fixture_scene, tmp_path):
     """--bake-occupancy builds a grid for checkpoints trained WITHOUT one."""
     import score as score_cli

@@ -23,6 +23,7 @@ def test_mesh_construction(mesh8):
     assert mesh8.shape == {"data": 8}
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single_device(mesh8):
     cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
     key = jax.random.PRNGKey(0)
@@ -74,6 +75,7 @@ def test_data_parallel_train_step(mesh8, fixture_scene):
     assert all(np.isfinite(l) for l in losses)
 
 
+@pytest.mark.slow
 def test_data_parallel_mesh1_matches_single_device(fixture_scene):
     # a 1-device mesh runs the shard_map path with axis_index 0 — must be
     # bitwise-equivalent to the unsharded step (which folds in 0 to match)
@@ -100,6 +102,7 @@ def test_data_parallel_mesh1_matches_single_device(fixture_scene):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_data_parallel_8way_descends(mesh8, fixture_scene):
     # 8 shards draw independent per-shard sampling jitter, so results are not
     # bitwise-comparable to single-device; check training behavior instead
@@ -129,6 +132,7 @@ def test_data_parallel_8way_descends(mesh8, fixture_scene):
     assert np.mean(losses[-10:]) < np.mean(losses[:10])
 
 
+@pytest.mark.slow
 def test_data_parallel_with_fused_kernel(mesh8, fixture_scene):
     # Pallas kernels can't be SPMD-partitioned by XLA; the shard_map path
     # must run one kernel per device shard (interpret mode on CPU)
@@ -161,6 +165,7 @@ def test_data_parallel_with_fused_kernel(mesh8, fixture_scene):
     assert np.isfinite(float(m["train_loss"]))
 
 
+@pytest.mark.slow
 def test_fused_kernel_mesh1_matches_single_device(fixture_scene):
     # the flagship production combination (fused Pallas render inside
     # make_sharded_grad_fn) on a 1-device mesh must be bitwise-equivalent to
@@ -202,6 +207,7 @@ def test_fused_kernel_mesh1_matches_single_device(fixture_scene):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_fused_kernel_8way_matches_loss_scale(mesh8, fixture_scene):
     # 8-way fused: per-shard keys are independent draws, so no bitwise
     # equality — but the pmean'd loss must sit in the same range as the
@@ -250,6 +256,7 @@ def test_fused_kernel_8way_matches_loss_scale(mesh8, fixture_scene):
     assert 0.5 * l1 < l8 < 2.0 * l1, (l1, l8)
 
 
+@pytest.mark.slow
 def test_trainer_with_mesh_end_to_end(mesh8, fixture_scene, tmp_path):
     from minimal_nerf_tpu.training import Trainer
 
@@ -267,6 +274,7 @@ def test_trainer_with_mesh_end_to_end(mesh8, fixture_scene, tmp_path):
     assert list((tmp_path / "mesh-e2e" / "checkpoints").glob("*.ckpt"))
 
 
+@pytest.mark.slow
 def test_sharded_render_chunk_matches_unsharded():
     """shard_map partitioning of a deterministic render_chunk is exact: per-
     ray math has no cross-ray reductions, so sharded == unsharded bitwise

@@ -1,5 +1,7 @@
 """Procedural-scene generator tests + a fast end-to-end learn check."""
 
+import pytest
+
 import jax
 import numpy as np
 
@@ -88,6 +90,7 @@ def test_shell_scene_is_hollow_surface():
     assert im.max() > 30
 
 
+@pytest.mark.slow
 def test_make_procedural_scene_dispatches_archetypes():
     for name in ("thin", "shell"):
         scenes, field = make_procedural_scene(

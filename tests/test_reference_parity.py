@@ -309,6 +309,7 @@ def test_torch_to_numpy_matches_reference(ref):
 # ------------------------------------------------------- training parity
 
 
+@pytest.mark.slow
 def test_short_training_run_lands_at_comparable_loss(ref):
     """50 overfit steps on one fixed ray batch, same initial weights, same
     optimizer (Adam 5e-4): the torch reference and this framework must both

@@ -122,6 +122,7 @@ def test_load_missing_checkpoint_is_a_clear_error(tmp_path):
             ckpt_lib.read_header(bad)
 
 
+@pytest.mark.slow
 def test_train_step_descends_loss(fixture_scene):
     scene = SyntheticScene.load(fixture_scene, "train")
     nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
@@ -150,6 +151,7 @@ def test_train_step_descends_loss(fixture_scene):
     )
 
 
+@pytest.mark.slow
 def test_multi_step_matches_single_steps(fixture_scene):
     scene = SyntheticScene.load(fixture_scene, "train")
     nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
@@ -178,6 +180,7 @@ def test_multi_step_matches_single_steps(fixture_scene):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_initial_state_handoff_on_mesh(fixture_scene, tmp_path):
     """The progressive phase handoff (Trainer(initial_state=...)) on a
     device mesh: phase 2 must accept phase 1's replicated final_state
@@ -218,6 +221,7 @@ def test_initial_state_handoff_on_mesh(fixture_scene, tmp_path):
     assert NeRFConfig.from_dict(header["nerf_config"]).coarse_samples == 12
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end(fixture_scene, tmp_path):
     nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
     train_cfg = TrainConfig(
@@ -269,6 +273,7 @@ def test_trainer_resume(fixture_scene, tmp_path):
     assert start == 4
 
 
+@pytest.mark.slow
 def test_trainer_steps_per_call(fixture_scene, tmp_path):
     # chunked multi-step dispatch must produce the same boundaries + ckpts
     nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
@@ -284,6 +289,7 @@ def test_trainer_steps_per_call(fixture_scene, tmp_path):
     assert (tmp_path / "spc" / "metrics.csv").exists()
 
 
+@pytest.mark.slow
 def test_trainer_steps_per_call_matches_single(fixture_scene, tmp_path):
     nerf_cfg = NeRFConfig(coarse_samples=8, fine_samples=8)
     base = dict(
@@ -316,6 +322,7 @@ def test_load_single_mode_checkpoint(fixture_scene, tmp_path):
     assert "trunk" in params  # single MLP pytree, not {"coarse","fine"}
 
 
+@pytest.mark.slow
 def test_resume_reproduces_uninterrupted_run(fixture_scene, tmp_path):
     # deterministic fold_in(key, step) RNG: save at step 4, resume, and land
     # bitwise-identical to an uninterrupted 8-step run
@@ -613,6 +620,7 @@ def test_batched_single_eval_matches_per_frame_loop(fixture_scene):
     np.testing.assert_allclose(float(got["val_loss"]), want, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_validation_boundary_is_one_metrics_row(fixture_scene, tmp_path):
     """A validation boundary writes ONE metrics.csv row carrying both the
     val losses and the boundary timings (advisor r3: two sparsely-populated
@@ -635,6 +643,7 @@ def test_validation_boundary_is_one_metrics_row(fixture_scene, tmp_path):
         assert r.get("ckpt_seconds"), r
 
 
+@pytest.mark.slow
 def test_auto_resume_fresh_run_does_not_adopt_stale_csv(fixture_scene, tmp_path):
     """--ckpt auto with NO checkpoint on disk is a fresh run: it must not
     append to a stale metrics.csv from a previous same-name run."""
