@@ -1,0 +1,36 @@
+#!/bin/bash
+# r5 (VERDICT r4 weak#6 / next#6): measure the batched multi-frame
+# scoring/render sweep (views.render_poses_batched, commit 7ebb4ca) on TPU
+# at the headline 800x800 resolution. The r4 number being replaced is
+# ~2.5 s/frame sequential (one dispatch per frame + host-side uint8/PSNR/
+# SSIM round-trips over the ~20ms-latency tunnel). Arms: the 200-pose
+# orbit sweep (the reference-scale "200 test frames" workload,
+# /root/reference/score.py:26-37) sequential (--frames-per-dispatch 1) vs
+# batched (8), at production 64+128 and at the fast 16+48 grid budget, plus
+# score.py on the 4-frame procedural test split (host metric overlap path).
+# Uses the o800-prog20-s1 checkpoint from 40_o800_s1_pair.sh (carries an
+# occupancy grid, so the 16+48 arms exercise concentrated sampling).
+cd /root/repo
+RD=/tmp/r5runs
+SCENE=/tmp/obj100f800/scene
+CK=$(ls $RD/o800-prog20-s1/checkpoints/*.ckpt 2>/dev/null | sort -t= -k3 -n | tail -1)
+if [ -z "$CK" ]; then echo "NO CKPT — 40_o800_s1_pair.sh must run first"; exit 1; fi
+echo "ckpt=$CK"
+arm() {
+  local name=$1; shift
+  local S=$(date +%s)
+  timeout 3600 "$@" > /tmp/r5_sb_$name.log 2>&1
+  local rc=$?
+  local E=$(date +%s)
+  echo "arm $name rc=$rc wall=$((E-S))s"
+}
+arm render_prod_seq  python render.py -c "$CK" -r 16384 -p 200 -s /tmp/r5_orbit_seq \
+    --frames-per-dispatch 1
+arm render_prod_b8   python render.py -c "$CK" -r 16384 -p 200 -s /tmp/r5_orbit_b8 \
+    --frames-per-dispatch 8
+arm render_fast_seq  python render.py -c "$CK" -r 16384 -p 200 -s /tmp/r5_orbitf_seq \
+    --coarse 16 --fine 48 --frames-per-dispatch 1
+arm render_fast_b8   python render.py -c "$CK" -r 16384 -p 200 -s /tmp/r5_orbitf_b8 \
+    --coarse 16 --fine 48 --frames-per-dispatch 8
+arm score_seq        python score.py -c "$CK" -b $SCENE -r 16384 --frames-per-dispatch 1
+arm score_b4         python score.py -c "$CK" -b $SCENE -r 16384 --frames-per-dispatch 4
