@@ -3,13 +3,14 @@
 # scoring/render sweep (views.render_poses_batched, commit 7ebb4ca) on TPU
 # at the headline 800x800 resolution. The r4 number being replaced is
 # ~2.5 s/frame sequential (one dispatch per frame + host-side uint8/PSNR/
-# SSIM round-trips over the ~20ms-latency tunnel). Arms: the 200-pose
-# orbit sweep (the reference-scale "200 test frames" workload,
+# SSIM round-trips over the ~20ms-latency tunnel). Arms (trimmed from the
+# original 6 to fit the round after a >40min relay stall upstream): the
+# 100-pose orbit sweep (the reference-scale multi-frame workload,
 # /root/reference/score.py:26-37) sequential (--frames-per-dispatch 1) vs
-# batched (8), at production 64+128 and at the fast 16+48 grid budget, plus
-# score.py on the 4-frame procedural test split (host metric overlap path).
+# batched (8) at the production 64+128 budget, plus score.py on the
+# 4-frame procedural test split (the host-metric-overlap path).
 # Uses the o800-prog20-s1 checkpoint from 40_o800_s1_pair.sh (carries an
-# occupancy grid, so the 16+48 arms exercise concentrated sampling).
+# occupancy grid; --kernel auto scores through its trained fused kernel).
 cd /root/repo
 RD=/tmp/r5runs
 SCENE=/tmp/obj100f800/scene
@@ -19,18 +20,14 @@ echo "ckpt=$CK"
 arm() {
   local name=$1; shift
   local S=$(date +%s)
-  timeout 3600 "$@" > /tmp/r5_sb_$name.log 2>&1
+  timeout 2400 "$@" > /tmp/r5_sb_$name.log 2>&1
   local rc=$?
   local E=$(date +%s)
   echo "arm $name rc=$rc wall=$((E-S))s"
 }
-arm render_prod_seq  python render.py -c "$CK" -r 16384 -p 200 -s /tmp/r5_orbit_seq \
+arm render_prod_seq  python render.py -c "$CK" -r 16384 -p 100 -s /tmp/r5_orbit_seq \
     --frames-per-dispatch 1
-arm render_prod_b8   python render.py -c "$CK" -r 16384 -p 200 -s /tmp/r5_orbit_b8 \
+arm render_prod_b8   python render.py -c "$CK" -r 16384 -p 100 -s /tmp/r5_orbit_b8 \
     --frames-per-dispatch 8
-arm render_fast_seq  python render.py -c "$CK" -r 16384 -p 200 -s /tmp/r5_orbitf_seq \
-    --coarse 16 --fine 48 --frames-per-dispatch 1
-arm render_fast_b8   python render.py -c "$CK" -r 16384 -p 200 -s /tmp/r5_orbitf_b8 \
-    --coarse 16 --fine 48 --frames-per-dispatch 8
 arm score_seq        python score.py -c "$CK" -b $SCENE -r 16384 --frames-per-dispatch 1
 arm score_b4         python score.py -c "$CK" -b $SCENE -r 16384 --frames-per-dispatch 4
