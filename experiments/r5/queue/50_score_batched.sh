@@ -9,13 +9,15 @@
 # /root/reference/score.py:26-37) sequential (--frames-per-dispatch 1) vs
 # batched (8) at the production 64+128 budget, plus score.py on the
 # 4-frame procedural test split (the host-metric-overlap path).
-# Uses the o800-prog20-s1 checkpoint from 40_o800_s1_pair.sh (carries an
-# occupancy grid; --kernel auto scores through its trained fused kernel).
+# Post-reboot: the prog-s1 ckpt in /tmp was lost, so this uses the
+# o800-uni-s1 checkpoint from 40_o800_uni_s1.sh (also trained under the
+# fused kernel; --kernel auto scores through it; carries the same
+# production 64+128 budget the r4 ~2.5 s/frame number was measured at).
 cd /root/repo
 RD=/tmp/r5runs
 SCENE=/tmp/obj100f800/scene
-CK=$(ls $RD/o800-prog20-s1/checkpoints/*.ckpt 2>/dev/null | sort -t= -k3 -n | tail -1)
-if [ -z "$CK" ]; then echo "NO CKPT — 40_o800_s1_pair.sh must run first"; exit 1; fi
+CK=$(ls $RD/o800-uni-s1/checkpoints/*.ckpt 2>/dev/null | sort -t= -k3 -n | tail -1)
+if [ -z "$CK" ]; then echo "NO CKPT — 40_o800_uni_s1.sh must run first"; exit 1; fi
 echo "ckpt=$CK"
 arm() {
   local name=$1; shift
