@@ -1,23 +1,20 @@
 #!/bin/bash
-# r5 (VERDICT r4 weak#6 / next#6): measure the batched multi-frame
-# scoring/render sweep (views.render_poses_batched, commit 7ebb4ca) on TPU
-# at the headline 800x800 resolution. The r4 number being replaced is
-# ~2.5 s/frame sequential (one dispatch per frame + host-side uint8/PSNR/
-# SSIM round-trips over the ~20ms-latency tunnel). Arms (trimmed from the
-# original 6 to fit the round after a >40min relay stall upstream): the
+# r5 (VERDICT r4 weak#6 / next#6, stage 2/2): measure the batched
+# multi-frame scoring/render sweep (views.render_poses_batched, commit
+# 7ebb4ca) on TPU at the headline 800x800 resolution. The r4 number being
+# replaced is ~2.5 s/frame sequential (one dispatch per frame + host-side
+# uint8/PSNR/SSIM round-trips over the ~20ms-latency tunnel). Arms: the
 # 100-pose orbit sweep (the reference-scale multi-frame workload,
 # /root/reference/score.py:26-37) sequential (--frames-per-dispatch 1) vs
 # batched (8) at the production 64+128 budget, plus score.py on the
 # 4-frame procedural test split (the host-metric-overlap path).
-# Post-reboot: the prog-s1 ckpt in /tmp was lost, so this uses the
-# o800-uni-s1 checkpoint from 40_o800_uni_s1.sh (also trained under the
-# fused kernel; --kernel auto scores through it; carries the same
-# production 64+128 budget the r4 ~2.5 s/frame number was measured at).
+# Uses the short fused 64+128 ckpt from 45_sb_ckpt.sh — throughput is a
+# function of render budget/resolution, not of training length.
 cd /root/repo
 RD=/tmp/r5runs
-SCENE=/tmp/obj100f800/scene
-CK=$(ls $RD/o800-uni-s1/checkpoints/*.ckpt 2>/dev/null | sort -t= -k3 -n | tail -1)
-if [ -z "$CK" ]; then echo "NO CKPT — 40_o800_uni_s1.sh must run first"; exit 1; fi
+SCENE=/tmp/obj8f800/scene
+CK=$(ls $RD/sb-ckpt/checkpoints/*.ckpt 2>/dev/null | sort -t= -k3 -n | tail -1)
+if [ -z "$CK" ]; then echo "NO CKPT — 45_sb_ckpt.sh must run first"; exit 1; fi
 echo "ckpt=$CK"
 arm() {
   local name=$1; shift
