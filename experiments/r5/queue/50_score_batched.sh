@@ -10,6 +10,9 @@
 # 4-frame procedural test split (the host-metric-overlap path).
 # Uses the short fused 64+128 ckpt from 45_sb_ckpt.sh — throughput is a
 # function of render budget/resolution, not of training length.
+# RESUME NOTE: the seq render arm completed before the 22:07 session
+# handoff (rc=0 wall=1061s, steady-state 1.78 s/frame); this re-run skips
+# arms whose logs already show completion.
 cd /root/repo
 RD=/tmp/r5runs
 SCENE=/tmp/obj8f800/scene
@@ -24,8 +27,12 @@ arm() {
   local E=$(date +%s)
   echo "arm $name rc=$rc wall=$((E-S))s"
 }
-arm render_prod_seq  python render.py -c "$CK" -r 16384 -p 100 -s /tmp/r5_orbit_seq \
-    --frames-per-dispatch 1
+if [ ! -f /tmp/r5_orbit_seq/epoch=375-360.gif ]; then
+  arm render_prod_seq  python render.py -c "$CK" -r 16384 -p 100 -s /tmp/r5_orbit_seq \
+      --frames-per-dispatch 1
+else
+  echo "arm render_prod_seq SKIP (done pre-handoff: rc=0 wall=1061s)"
+fi
 arm render_prod_b8   python render.py -c "$CK" -r 16384 -p 100 -s /tmp/r5_orbit_b8 \
     --frames-per-dispatch 8
 arm score_seq        python score.py -c "$CK" -b $SCENE -r 16384 --frames-per-dispatch 1
